@@ -1,0 +1,374 @@
+"""Datasets producing static-shape device batches with conv index plans.
+
+TPU re-architecture of the reference's three Dataset classes
+(uibk/deep_preconditioning/data_set.py:23-336).  Shared behavior kept:
+
+  * only the lower-triangular part of each symmetric system is stored
+    (``rows >= columns`` filter, data_set.py:89-93);
+  * every sample is zero-padded to a global ``dof_max`` with trivial
+    ``1*x = 1`` identity equations (data_set.py:94-97) — here dof_max is
+    additionally rounded up to a multiple of 128 so dense loss matmuls
+    tile onto the MXU;
+  * 80/20 train/test split by folder order (data_set.py:40-46), shuffle
+    once at construction.
+
+TPU-specific additions:
+  * per-sample scalar normalization A = scale * A_tilde with
+    max diag(A_tilde) = 1.  PCG is exactly invariant under scalar scaling
+    of the preconditioner, so learning on A_tilde loses nothing and keeps
+    CNN activations O(1) (FVM matrices carry a dt/rho ~ 1e-6 factor).
+  * each batch carries the *conv index plans* for the model
+    (ops/sparse_conv.py) — sparsity patterns are static per sample, so the
+    plans are built host-side once and cached, instead of being recomputed
+    on device every forward like spconv does.
+  * all shapes are padded to dataset-global buckets so every batch hits
+    the same compiled executable.
+"""
+
+from __future__ import annotations
+
+import random
+from functools import lru_cache
+from pathlib import Path
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeppreconditioning_tpu.ops.sparse_conv import (
+    ConvSpec,
+    LayerPlan,
+    build_sample_plan,
+    stack_plans,
+)
+from deeppreconditioning_tpu.sparse.coo import BatchedCOO
+
+ROOT: Path = Path("./assets/data/raw/")
+
+
+class DeviceBatch(NamedTuple):
+    """One training/eval batch, fully on device except original_sizes."""
+
+    features: jax.Array  # (B, nnz0_pad, 1) layer-0 conv input (scaled tril)
+    plans: Tuple[LayerPlan, ...]  # batched per-layer index plans
+    systems: BatchedCOO  # scaled tril(A_tilde), same site order as features
+    solutions: jax.Array  # (B, dof_pad)
+    right_hand_sides: jax.Array  # (B, dof_pad), scaled to match A_tilde
+    scales: jax.Array  # (B,) with A = scale * A_tilde
+    original_sizes: Tuple[int, ...]  # true dofs (host static)
+
+
+class _HostSample(NamedTuple):
+    rows: np.ndarray
+    cols: np.ndarray
+    vals: np.ndarray  # scaled tril values incl. identity padding
+    solution: np.ndarray  # (dof_pad,)
+    rhs: np.ndarray  # (dof_pad,) scaled
+    scale: float
+    original_size: int
+
+
+def round_up(n: int, m: int) -> int:
+    return ((max(n, 1) + m - 1) // m) * m
+
+
+def _prepare_sample(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    solution: np.ndarray,
+    rhs: np.ndarray,
+    dof_pad: int,
+    pad_value: float = 1.0,
+) -> _HostSample:
+    """tril filter + identity padding + scalar normalization + site sort."""
+    n = solution.shape[0]
+    keep = rows >= cols  # data_set.py:89-93
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+
+    diag_mask = rows == cols
+    scale = float(np.max(vals[diag_mask])) if diag_mask.any() else 1.0
+    scale = scale if scale > 0 else 1.0
+    vals = vals / scale
+
+    # trivial 1*x=1 equations up to dof_pad (data_set.py:94-97; the
+    # reference pads solution/rhs with constant 1, data_set.py:108-119)
+    extra = np.arange(n, dof_pad)
+    rows = np.concatenate([rows, extra]).astype(np.int64)
+    cols = np.concatenate([cols, extra]).astype(np.int64)
+    vals = np.concatenate([vals, np.full(extra.shape, 1.0)])
+
+    order = np.argsort(rows * dof_pad + cols, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+
+    sol = np.full((dof_pad,), pad_value)
+    sol[:n] = solution
+    b = np.full((dof_pad,), pad_value)
+    b[:n] = rhs / scale
+
+    return _HostSample(
+        rows.astype(np.int32), cols.astype(np.int32), vals, sol, b,
+        scale, n,
+    )
+
+
+class PlannedDataSet:
+    """Base: host samples -> bucketed plans -> device batches.
+
+    Subclasses fill ``self.samples`` (list of raw case tuples) before
+    calling ``_finalize``.
+    """
+
+    def __init__(self, batch_size: int, specs: Sequence[ConvSpec],
+                 cache_batches: int = 16) -> None:
+        self.batch_size = batch_size
+        self.specs = list(specs)
+        self._raw: List[tuple] = []  # (rows, cols, vals, sol, rhs)
+        self._get_batch = lru_cache(maxsize=cache_batches)(
+            self._build_batch
+        )
+
+    # -- to be called by subclasses once self._raw is filled -------------
+    def _finalize(self, dof_max: int) -> None:
+        self.dof_max = dof_max
+        self.dof_pad = round_up(dof_max, 128)
+        self._host: List[_HostSample] = [
+            _prepare_sample(r, c, v, s, b, self.dof_pad)
+            for (r, c, v, s, b) in self._raw
+        ]
+        del self._raw
+        # dataset-global nnz buckets: build every plan once, keep sizes
+        self.nnz0_pad = round_up(
+            max(h.rows.shape[0] for h in self._host), 256
+        )
+        layer_max = None
+        for h in self._host:
+            plan = build_sample_plan(
+                h.rows, h.cols, (self.dof_pad, self.dof_pad), self.specs
+            )
+            sizes = [r.shape[0] for r in plan.layer_rows]
+            layer_max = (sizes if layer_max is None
+                         else [max(a, b) for a, b in zip(layer_max, sizes)])
+        self._layer_buckets = [round_up(m, 256) for m in layer_max]
+
+    def __len__(self) -> int:
+        return len(self._host) // self.batch_size
+
+    def __getitem__(self, index: int) -> DeviceBatch:
+        if index < 0 or index >= len(self):
+            raise IndexError(index)
+        return self._get_batch(index)
+
+    def _build_batch(self, index: int) -> DeviceBatch:
+        members = self._host[
+            index * self.batch_size: (index + 1) * self.batch_size
+        ]
+        plans_host = []
+        for h in members:
+            plans_host.append(
+                build_sample_plan(
+                    h.rows, h.cols, (self.dof_pad, self.dof_pad), self.specs
+                )
+            )
+        # pad to the dataset-global per-layer buckets so every batch hits
+        # the same compiled executable
+        padded = self._repad_to_global(plans_host)
+        plans = tuple(stack_plans(padded))
+
+        feats = np.zeros((len(members), self.nnz0_pad, 1), np.float32)
+        idx_list, val_list = [], []
+        for bi, h in enumerate(members):
+            nnz = h.rows.shape[0]
+            feats[bi, :nnz, 0] = h.vals
+            idx_list.append(
+                np.column_stack(
+                    (np.full(nnz, bi, np.int32), h.rows, h.cols)
+                )
+            )
+            val_list.append(h.vals)
+        all_idx = np.vstack(idx_list)
+        all_val = np.concatenate(val_list)
+        systems = BatchedCOO.from_numpy(
+            all_idx, all_val, len(members), (self.dof_pad, self.dof_pad),
+            bucket=self.nnz0_pad,
+        )
+
+        return DeviceBatch(
+            features=jnp.asarray(feats),
+            plans=plans,
+            systems=systems,
+            solutions=jnp.asarray(
+                np.stack([h.solution for h in members]), jnp.float32
+            ),
+            right_hand_sides=jnp.asarray(
+                np.stack([h.rhs for h in members]), jnp.float32
+            ),
+            scales=jnp.asarray([h.scale for h in members], jnp.float32),
+            original_sizes=tuple(h.original_size for h in members),
+        )
+
+    def _repad_to_global(self, plans_host) -> list:
+        """Pad host plans to the dataset-global per-layer buckets."""
+        n_layers = len(self.specs)
+        out_pad = self._layer_buckets
+        in_pad = [self.nnz0_pad] + out_pad[:-1]
+        result = []
+        for p in plans_host:
+            layers = []
+            for li in range(n_layers):
+                nnz_out = p.layer_rows[li].shape[0]
+                np_out = out_pad[li]
+                sentinel = in_pad[li]
+                g = p.layer_gather[li]
+                gather = np.full((g.shape[0], np_out), sentinel, np.int32)
+                gather[:, :nnz_out] = np.where(g >= 0, g, sentinel)
+                rows = np.zeros((np_out,), np.int32)
+                cols = np.zeros((np_out,), np.int32)
+                rows[:nnz_out] = p.layer_rows[li]
+                cols[:nnz_out] = p.layer_cols[li]
+                valid = np.zeros((np_out,), bool)
+                valid[:nnz_out] = True
+                layers.append(
+                    LayerPlan(
+                        gather=jnp.asarray(gather),
+                        rows=jnp.asarray(rows),
+                        cols=jnp.asarray(cols),
+                        valid=jnp.asarray(valid),
+                    )
+                )
+            result.append(layers)
+        return result
+
+
+def _split_folders(folders: list, stage: str) -> list:
+    """80/20 split by order (data_set.py:40-46)."""
+    cut = len(folders) * 80 // 100
+    if stage == "train":
+        return folders[:cut]
+    if stage == "test":
+        return folders[cut:]
+    raise AssertionError(f"Invalid stage {stage}")
+
+
+class SludgePatternDataSet(PlannedDataSet):
+    """FVM pressure-Poisson cases from disk (data_set.py:23-130 parity).
+
+    Reads the reference's on-disk case layout: ``case_*/matrix.npz``
+    (scipy COO save_npz), ``solution.csv``, ``right_hand_side.csv`` —
+    whether produced by the reference's OpenFOAM pipeline or by
+    data/fvm.py.
+    """
+
+    def __init__(
+        self,
+        stage: str,
+        batch_size: int,
+        specs: Sequence[ConvSpec],
+        shuffle: bool = True,
+        root: Path = ROOT,
+        seed: int = 69,
+    ) -> None:
+        super().__init__(batch_size, specs)
+        all_folders = sorted((Path(root) / "sludge_patterns").glob("case_*"))
+        assert all_folders, f"no cases under {root}/sludge_patterns"
+        folders = _split_folders(all_folders, stage)
+        if shuffle:
+            random.Random(seed).shuffle(folders)
+        self.folders = folders
+
+        dof_max = 0
+        for folder in all_folders:  # global dof_max (data_set.py:56-67)
+            with np.load(folder / "matrix.npz") as z:
+                dof_max = max(dof_max, int(z["shape"].max()))
+        assert dof_max > 0, "Maximum degrees of freedom is zero"
+
+        for folder in folders:
+            with np.load(folder / "matrix.npz") as z:
+                rows, cols = z["row"], z["col"]
+                vals = z["data"]
+            sol = np.loadtxt(folder / "solution.csv")
+            rhs = np.loadtxt(folder / "right_hand_side.csv")
+            self._raw.append((rows, cols, vals, sol, rhs))
+        self._finalize(dof_max)
+
+
+class RandomSPDDataSet(PlannedDataSet):
+    """Random sparse SPD systems, Haeusner et al. recipe
+    (data_set.py:222-336): A = B B^T + 1e-3 I with B random strictly
+    lower-triangular at a given sparsity; x = 1, b = A x
+    (data_set.py:289-290).  Generated in memory, seeded.
+    """
+
+    def __init__(
+        self,
+        stage: str,
+        dof: int,
+        batch_size: int,
+        specs: Sequence[ConvSpec],
+        sparsity: float = 0.99,
+        length: int = 1000,
+        shuffle: bool = True,
+        seed: int = 69,
+    ) -> None:
+        super().__init__(batch_size, specs)
+        assert 0 < sparsity <= 1
+        rng = np.random.default_rng(seed)
+        indices = list(range(length))
+        cut = length * 80 // 100
+        keep = set(indices[:cut] if stage == "train" else indices[cut:])
+
+        tri_r, tri_c = np.tril_indices(dof, k=-1)
+        n_off = int((1 - sparsity) * tri_r.shape[0])
+        for i in range(length):
+            sel = rng.choice(tri_r.shape[0], size=n_off, replace=False)
+            bmat = np.zeros((dof, dof))
+            bmat[tri_r[sel], tri_c[sel]] = rng.standard_normal(n_off)
+            a = bmat @ bmat.T + 1e-3 * np.eye(dof)
+            if i not in keep:
+                continue
+            x = np.ones(dof)
+            b = a @ x
+            r, c = np.nonzero(a)
+            self._raw.append((r, c, a[r, c], x, b))
+        if shuffle:
+            random.Random(seed).shuffle(self._raw)
+        self._finalize(dof)
+
+
+class StAnDataSet(PlannedDataSet):
+    """Loader for the Kaggle StAn frame-structure systems
+    (data_set.py:141-219).  Expects pre-downloaded ``stand_small_{stage}``
+    npz files (keys: indices (2, nnz), values, solution, rhs); this
+    environment has no network egress, so there is no download path —
+    mirror the files under `root` manually.
+    """
+
+    DOF_MAX = 5166  # data_set.py:167
+
+    def __init__(
+        self,
+        stage: str,
+        batch_size: int,
+        specs: Sequence[ConvSpec],
+        shuffle: bool = True,
+        root: Path = ROOT,
+        seed: int = 69,
+        limit: int | None = None,
+    ) -> None:
+        super().__init__(batch_size, specs)
+        files = sorted(Path(root).glob(f"stand_small_{stage}/*.npz"))
+        assert files, f"no StAn files under {root}/stand_small_{stage}"
+        if shuffle:
+            random.Random(seed).shuffle(files)
+        if limit:
+            files = files[:limit]
+        for f in files:
+            with np.load(f) as z:
+                indices, values, solution, rhs = (
+                    z[k] for k in list(z.keys())
+                )
+            self._raw.append(
+                (indices[0], indices[1], values, solution, rhs)
+            )
+        self._finalize(self.DOF_MAX)

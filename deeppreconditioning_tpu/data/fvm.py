@@ -1,0 +1,256 @@
+"""Finite-volume pressure-Poisson matrix generator (OpenFOAM replacement).
+
+The reference obtains its training matrices by patching OpenFOAM's interFoam
+pressure corrector to dump the assembled pressure-Poisson system
+(reference: foam/newInterFoam/pEqn.H:43-122 — the equation is
+``fvm::laplacian(rAUf, p_rgh) == fvc::div(phiHbyA)`` with boundary
+contributions folded into diagonal/rhs and a reference-cell pin) and then
+negates it into an SPD M-matrix (generate_data.py:70-79).
+
+This module reproduces the *matrix class* directly: a 2-D two-phase tank
+with a random sludge interface (the reference synthesizes a random sludge
+polyline, generate_data.py:18-52), variable face diffusivity
+``rAUf ~ dt / rho`` across the interface, a fixed-value (atmosphere)
+pressure boundary at the top, and zero-gradient walls.  Assembly is the
+standard FVM 5-point stencil with harmonic face interpolation — the exact
+structure OpenFOAM's ``fvm::laplacian`` produces on an orthogonal hex mesh.
+The result is symmetric positive-definite by construction (diagonally
+dominant M-matrix with at least one Dirichlet face), verified the same way
+the reference does (symmetry + positive definiteness,
+generate_data.py:76-79, but via Gershgorin/Cholesky instead of dense
+eigvals).
+
+Everything is vectorized numpy on the host — data generation is IO-bound,
+not a device workload.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+import scipy.sparse as sp
+
+# Two-phase physical parameters (water over sludge, as in the reference's
+# foam/sim setup: incompressible VOF with two densities).
+RHO_WATER = 1000.0
+RHO_SLUDGE = 1400.0
+DT = 1e-3
+
+
+@dataclass
+class FVMCase:
+    """One generated linear system A x = b with ground truth."""
+
+    matrix: sp.coo_matrix  # SPD pressure-correction matrix
+    rhs: np.ndarray
+    solution: np.ndarray  # CG ground truth (atol 1e-6, like the reference)
+    shape_2d: tuple  # (ny, nx) grid used
+
+
+def _sludge_height(nx: int, rng: np.random.Generator) -> np.ndarray:
+    """Random smooth sludge-bed height profile in [0.1, 0.5] of tank depth.
+
+    Plays the role of the reference's random sludge polyline
+    (generate_data.py:18-49): a low-frequency random surface separating the
+    sludge phase from the water above it.
+    """
+    n_modes = 4
+    x = np.linspace(0, 2 * np.pi, nx)
+    h = np.zeros(nx)
+    for k in range(1, n_modes + 1):
+        h += rng.normal() / k * np.sin(k * x + rng.uniform(0, 2 * np.pi))
+    h = (h - h.min()) / max(h.max() - h.min(), 1e-12)  # -> [0, 1]
+    return 0.1 + 0.4 * h  # fraction of tank depth occupied by sludge
+
+
+def assemble_pressure_poisson(
+    ny: int,
+    nx: int,
+    rho: np.ndarray,
+    dx: float = 1.0,
+    dy: float = 1.0,
+    dirichlet_top: bool = True,
+) -> tuple:
+    """Assemble the SPD pressure-Poisson matrix on an (ny, nx) grid.
+
+    Mirrors ``fvm::laplacian(rAUf, p)`` assembly (pEqn.H:43-46): for each
+    interior face f between cells P and N, coefficient
+    ``c_f = rAU_f * area / dist`` with harmonic interpolation of
+    ``rAU = dt / rho`` to the face; the off-diagonals get ``-c_f`` and both
+    diagonals ``+c_f``.  A fixed-value boundary at the top row adds its face
+    coefficient to the diagonal only (the rhs contribution is handled by the
+    caller), matching the internalCoeffs/boundaryCoeffs folding of
+    pEqn.H:87-96.  Sign convention: returned matrix is the *negated*
+    Laplacian, i.e. SPD (generate_data.py:70).
+
+    Returns:
+        (A_coo, diag_extra) where A is SPD sparse and diag_extra is the
+        Dirichlet diagonal contribution vector (for rhs construction).
+    """
+    n = ny * nx
+    idx = np.arange(n).reshape(ny, nx)
+    rau = DT / rho  # cell-centred 1/(a_P rho): the rAU field
+
+    rows, cols, vals = [], [], []
+    diag = np.zeros(n)
+
+    def add_faces(p_idx, n_idx, rau_p, rau_n, area_over_dist):
+        # harmonic face interpolation (OpenFOAM 'harmonic' scheme for
+        # discontinuous coefficients)
+        rau_f = 2.0 * rau_p * rau_n / (rau_p + rau_n)
+        c = rau_f * area_over_dist
+        rows.append(p_idx.ravel())
+        cols.append(n_idx.ravel())
+        vals.append(-c.ravel())
+        rows.append(n_idx.ravel())
+        cols.append(p_idx.ravel())
+        vals.append(-c.ravel())
+        np.add.at(diag, p_idx.ravel(), c.ravel())
+        np.add.at(diag, n_idx.ravel(), c.ravel())
+
+    # x-direction internal faces
+    add_faces(idx[:, :-1], idx[:, 1:], rau[:, :-1], rau[:, 1:], dy / dx)
+    # y-direction internal faces
+    add_faces(idx[:-1, :], idx[1:, :], rau[:-1, :], rau[1:, :], dx / dy)
+
+    diag_extra = np.zeros(n)
+    if dirichlet_top:
+        # top row (y = ny-1): fixed-value p boundary, half-cell distance
+        top = idx[-1, :]
+        c_b = rau[-1, :] * dx / (dy / 2.0)
+        diag_extra[top] = c_b
+        diag += diag_extra
+    else:
+        # all-Neumann: pin the reference cell like setReference (pEqn.H:48)
+        diag[0] += 1.0
+
+    rows.append(np.arange(n))
+    cols.append(np.arange(n))
+    vals.append(diag)
+
+    a = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    )
+    a.sum_duplicates()
+    return a.tocoo(), diag_extra
+
+
+def _validate_spd(a: sp.coo_matrix) -> None:
+    """Symmetry + positive-definiteness checks.
+
+    Same guarantees as generate_data.py:76-79 but scalable: exact symmetry
+    on the sparse structure and a sparse Cholesky-free certificate
+    (diagonal dominance with positive diagonal implies SPD for symmetric
+    matrices; fall back to a few Lanczos iterations if not dominant).
+    """
+    asym = abs(a - a.T)
+    assert asym.nnz == 0 or asym.max() < 1e-10, "matrix not symmetric"
+    d = a.diagonal()
+    assert (d > 0).all(), "non-positive diagonal"
+    offdiag_abs = np.asarray(
+        abs(a).sum(axis=1)
+    ).ravel() - np.abs(d)
+    if not (d >= offdiag_abs - 1e-12).all():
+        from scipy.sparse.linalg import eigsh
+
+        lam_min = eigsh(a.tocsc(), k=1, which="SA",
+                        return_eigenvectors=False)[0]
+        assert lam_min > 0, "matrix not positive definite"
+
+
+def generate_sludge_case(
+    rng: np.random.Generator,
+    mesh_cells: int = 2,
+    resolution_jitter: bool = True,
+) -> FVMCase:
+    """Generate one sludge-pattern pressure-correction system.
+
+    ``mesh_cells`` scales resolution like the reference's blockMeshDict
+    `res` parameter (generate_data.py:92-93); the snappy cap of ~2000 cells
+    (foam/sim/system/snappyHexMeshDict:34) is respected so matrix sizes
+    match the reference's regime, with per-case size jitter standing in for
+    snappyHexMesh's geometry-dependent cell counts.
+    """
+    base = 14 * mesh_cells
+    if resolution_jitter:
+        nx = int(base * rng.uniform(0.85, 1.15))
+        ny = int(base * rng.uniform(0.85, 1.15))
+    else:
+        nx = ny = base
+    nx, ny = max(nx, 8), max(ny, 8)
+    while nx * ny > 2000:
+        nx -= 1
+        ny -= 1
+
+    # two-phase density field from the random sludge bed
+    h = _sludge_height(nx, rng)
+    ycoord = (np.arange(ny)[:, None] + 0.5) / ny  # (ny, 1)
+    sludge = ycoord < h[None, :]
+    rho = np.where(sludge, RHO_SLUDGE, RHO_WATER)
+    # smear the interface one cell (VOF alpha is continuous)
+    rho = (
+        4.0 * rho
+        + np.roll(rho, 1, 0) + np.roll(rho, -1, 0)
+        + np.roll(rho, 1, 1) + np.roll(rho, -1, 1)
+    ) / 8.0
+
+    dx = dy = 1.0 / max(nx, ny)
+    a, diag_extra = assemble_pressure_poisson(ny, nx, rho, dx, dy)
+    _validate_spd(a)
+
+    n = ny * nx
+    # rhs = div(phiHbyA) analogue: divergence of a random smooth velocity
+    # field, plus the Dirichlet boundary contribution (p_atm = 0 here).
+    psi = rng.normal(size=(ny + 2, nx + 2))
+    for _ in range(8):  # smooth
+        psi = 0.25 * (
+            np.roll(psi, 1, 0) + np.roll(psi, -1, 0)
+            + np.roll(psi, 1, 1) + np.roll(psi, -1, 1)
+        )
+    u = (psi[1:-1, 2:] - psi[1:-1, :-2])[:, :] / (2 * dx)
+    v = (psi[2:, 1:-1] - psi[:-2, 1:-1])[:, :] / (2 * dy)
+    div = (
+        (np.roll(u, -1, 1) - np.roll(u, 1, 1)) / (2 * dx)
+        + (np.roll(v, -1, 0) - np.roll(v, 1, 0)) / (2 * dy)
+    )
+    b = (div * dx * dy * DT).ravel()
+    b = b - b.mean()  # compatible rhs
+    b = b * (1.0 / max(np.abs(b).max(), 1e-30))
+
+    # ground-truth solve, same protocol as generate_data.py:107
+    x, info = sp.linalg.cg(a.tocsr(), b, atol=1e-6, rtol=0.0, maxiter=20000)
+    assert info == 0, f"ground-truth CG did not converge (info={info})"
+
+    return FVMCase(matrix=a, rhs=b, solution=x, shape_2d=(ny, nx))
+
+
+def save_case(case: FVMCase, folder: Path) -> None:
+    """Write a case in the reference's on-disk layout.
+
+    Byte-compatible with generate_data.py:109-111: ``matrix.npz`` is a
+    scipy COO ``save_npz`` archive (key order row/col/format/shape/data —
+    what data_set.py:85 unpacks) next to ``right_hand_side.csv`` and
+    ``solution.csv``.
+    """
+    folder.mkdir(parents=True, exist_ok=True)
+    sp.save_npz(folder / "matrix.npz", case.matrix, compressed=False)
+    np.savetxt(folder / "right_hand_side.csv", case.rhs)
+    np.savetxt(folder / "solution.csv", case.solution)
+
+
+def generate_dataset(
+    root: Path,
+    number_samples: int = 500,
+    mesh_cells: int = 2,
+    seed: int = 69420,
+) -> None:
+    """Generate the full sludge-pattern dataset (replaces the `generate`
+    DVC stage, dvc.yaml:2-13; same default sample count and seed as
+    params.yaml:3 / generate_data.py:15)."""
+    rng = np.random.default_rng(seed)
+    for i in range(number_samples):
+        case = generate_sludge_case(rng, mesh_cells=mesh_cells)
+        save_case(case, root / f"case_{i:04d}")

@@ -1,0 +1,104 @@
+"""Training losses and quality metrics for learned preconditioners.
+
+Functional ports of the reference's four loss candidates
+(uibk/deep_preconditioning/metrics.py:13-100) over the framework's batched
+containers.  Sparse inputs arrive as (values, rows, cols, valid) bundles —
+the batched output of models/precond_net.py — or as BatchedCOO; densified
+paths pad n to an MXU-friendly multiple so the batched matmuls tile cleanly.
+
+All functions are jit/vmap/grad-safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deeppreconditioning_tpu.sparse.coo import BatchedCOO, batched_coo_matvec
+
+
+def scatter_tril_dense(
+    values: jax.Array,  # (B, nnz_pad)
+    rows: jax.Array,  # (B, nnz_pad)
+    cols: jax.Array,
+    valid: jax.Array,
+    n: int,
+) -> jax.Array:
+    """Scatter batched sparse tril values into dense (B, n, n).
+
+    Sites outside [0, n) (the conv dilation can step off the matrix) and
+    padded sites are dropped.
+    """
+    ok = valid & (rows < n) & (cols < n) & (rows >= 0) & (cols >= 0)
+    vals = jnp.where(ok, values, 0.0)
+    r = jnp.clip(rows, 0, n - 1)
+    c = jnp.clip(cols, 0, n - 1)
+
+    def scatter_one(v, r, c):
+        return jnp.zeros((n, n), v.dtype).at[r, c].add(v)
+
+    return jax.vmap(scatter_one)(vals, r, c)
+
+
+def symmetrize_tril(a_tril: jax.Array) -> jax.Array:
+    """(B, n, n) tril -> full symmetric A (metrics.py:47-48)."""
+    return a_tril + jnp.tril(a_tril, -1).transpose(0, 2, 1)
+
+
+def inverse_loss(
+    systems_tril_dense: jax.Array,  # (B, n, n) lower-triangular A part
+    l_dense: jax.Array,  # (B, n, n) lower-triangular factor L
+) -> jax.Array:
+    """Mean Frobenius distance of (L L^T) A from the identity.
+
+    The training objective of the reference (train.py:59; metrics.py:34-55):
+    densify, M = L L^T, A = tril + strict-tril^T, mean_b ||M A - I||_F.
+    """
+    m = jnp.einsum("bij,bkj->bik", l_dense, l_dense)
+    a = symmetrize_tril(systems_tril_dense)
+    ma = jnp.einsum("bij,bjk->bik", m, a)
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)[None]
+    return jnp.sqrt(jnp.sum((ma - eye) ** 2, axis=(1, 2))).mean()
+
+
+def frobenius_loss(
+    l_coo: BatchedCOO,
+    solutions: jax.Array,  # (B, n)
+    right_hand_sides: jax.Array,  # (B, n)
+) -> jax.Array:
+    """Fully-sparse loss ||L (L^T x) - b||_2 summed over the batch.
+
+    Port of metrics.py:13-31 (two sparse matvecs, no densification) — the
+    scalable objective for large n.
+    """
+    interim = batched_coo_matvec(l_coo, solutions, transpose=True)
+    interim = batched_coo_matvec(l_coo, interim, transpose=False)
+    return jnp.linalg.norm(interim - right_hand_sides, axis=1).sum()
+
+
+def hutchinson_trace(
+    key: jax.Array,
+    systems_tril_dense: jax.Array,
+    l_dense: jax.Array,
+) -> jax.Array:
+    """Stochastic ||(L L^T - A) v|| estimate (metrics.py:58-77)."""
+    a = symmetrize_tril(systems_tril_dense)
+    b, n, _ = a.shape
+    v = jax.random.normal(key, (b, n), a.dtype)
+    lv = jnp.einsum("bij,bj->bi", l_dense,
+                    jnp.einsum("bji,bj->bi", l_dense, v))
+    av = jnp.einsum("bij,bj->bi", a, v)
+    return jnp.linalg.norm(lv - av, axis=1).mean()
+
+
+def condition_loss(
+    systems_tril_dense: jax.Array,
+    l_dense: jax.Array,
+) -> jax.Array:
+    """Mean condition number of M A via singular values (metrics.py:80-100)."""
+    m = jnp.einsum("bij,bkj->bik", l_dense, l_dense)
+    a = symmetrize_tril(systems_tril_dense)
+    ma = jnp.einsum("bij,bjk->bik", m, a)
+    sigmas = jnp.linalg.svd(ma, compute_uv=False)
+    return (sigmas.max(axis=1) / sigmas.min(axis=1)).mean()

@@ -1,0 +1,83 @@
+"""CSR sparse matrix container + host interop.
+
+CSR is the host-side lingua franca (scipy, the native C++ runtime, IC(0)
+factorization, level scheduling).  On device we keep it as a static-shape
+pytree; the SpMV fast path converts to ELL (sparse/ell.py) or BSR.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class CSRMatrix:
+    """Square sparse matrix in padded CSR format.
+
+    Attributes:
+        indptr: int32 (n + 1,) row pointers (into the padded data arrays).
+        indices: int32 (nnz_pad,) column indices; sentinel n for padding.
+        data: float (nnz_pad,) values; 0 in padding.
+        n: static true dimension.
+    """
+
+    indptr: jax.Array
+    indices: jax.Array
+    data: jax.Array
+    n: int = struct.field(pytree_node=False)
+
+    @property
+    def nnz_pad(self) -> int:
+        return self.indices.shape[0]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """y = A @ x via gather + segment-sum over rows."""
+        x_ext = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+        prods = self.data * x_ext[self.indices]
+        row_ids = jnp.searchsorted(
+            self.indptr, jnp.arange(self.nnz_pad), side="right"
+        ) - 1
+        row_ids = jnp.clip(row_ids, 0, self.n - 1)
+        return jax.ops.segment_sum(prods, row_ids, num_segments=self.n)
+
+    def to_dense(self) -> jax.Array:
+        row_ids = jnp.searchsorted(
+            self.indptr, jnp.arange(self.nnz_pad), side="right"
+        ) - 1
+        row_ids = jnp.clip(row_ids, 0, self.n - 1)
+        out = jnp.zeros((self.n, self.n + 1), self.data.dtype)
+        out = out.at[row_ids, jnp.clip(self.indices, 0, self.n)].add(self.data)
+        return out[:, : self.n]
+
+    @staticmethod
+    def from_scipy(mat, nnz_pad: int | None = None, dtype=jnp.float32
+                   ) -> "CSRMatrix":
+        csr = mat.tocsr()
+        csr.sum_duplicates()
+        n = csr.shape[0]
+        nnz = csr.nnz
+        if nnz_pad is None:
+            nnz_pad = nnz
+        assert nnz_pad >= nnz
+        indices = np.full((nnz_pad,), n, np.int32)
+        data = np.zeros((nnz_pad,), np.float64)
+        indices[:nnz] = csr.indices
+        data[:nnz] = csr.data
+        indptr = csr.indptr.astype(np.int32)
+        return CSRMatrix(
+            indptr=jnp.asarray(indptr),
+            indices=jnp.asarray(indices),
+            data=jnp.asarray(data, dtype=dtype),
+            n=n,
+        )
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        indptr = np.asarray(self.indptr)
+        indices = np.asarray(self.indices)[: indptr[-1]]
+        data = np.asarray(self.data)[: indptr[-1]]
+        return sp.csr_matrix((data, indices, indptr), shape=(self.n, self.n))

@@ -1,0 +1,237 @@
+"""Training loop for learned preconditioners.
+
+Behavioral port of the reference's train stage
+(uibk/deep_preconditioning/train.py:139-190): Adam, ``inverse_loss``
+objective (train.py:59), per-epoch validation = loss + per-sample PCG
+duration/iteration metrics (train.py:67-110), early stopping on the
+validation loss with patience (train.py:113-136), per-epoch
+checkpointing, and the four dvclive metric series.
+
+TPU-native differences:
+  * the train step is one jitted program (forward + loss + grad + Adam)
+    reusing a single compiled executable across all batches/epochs thanks
+    to dataset-global static buckets;
+  * validation PCG is *batched on device* (vmap over the dense PCG) rather
+    than a per-sample Python loop;
+  * checkpoints keep params + optimizer state + step so training resumes
+    exactly (the reference saves model weights only and always restarts,
+    train.py:186);
+  * we save both ``latest`` and the true best-by-val-loss checkpoint (the
+    reference's ``best.pt`` is saved unconditionally every epoch and is
+    really "latest", train.py:184-186).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from deeppreconditioning_tpu import metrics as metrics_lib
+from deeppreconditioning_tpu.data.datasets import DeviceBatch
+from deeppreconditioning_tpu.models.precond_net import (
+    PreconditionerNet,
+    batched_apply,
+    output_to_dense,
+)
+from deeppreconditioning_tpu.solvers.cg import (
+    dense_matvec,
+    preconditioned_conjugate_gradient,
+)
+from deeppreconditioning_tpu.utils.logging import MetricsLogger
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class EarlyStopping:
+    """Patience counter on the validation loss (train.py:113-136)."""
+
+    def __init__(self, patience: int = 16, min_delta: float = 0.0) -> None:
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = float("inf")
+        self.counter = 0
+
+    def __call__(self, val_loss: float) -> bool:
+        if val_loss < self.best - self.min_delta:
+            self.best = val_loss
+            self.counter = 0
+            return False
+        self.counter += 1
+        return self.counter >= self.patience
+
+
+def _loss_from_batch(model, params, batch: DeviceBatch) -> jax.Array:
+    values = batched_apply(model, params, batch.features, batch.plans)
+    n = batch.solutions.shape[1]
+    l_dense = output_to_dense(values, batch.plans[-1], n)
+    a_tril = batch.systems.to_dense()
+    return metrics_lib.inverse_loss(a_tril, l_dense)
+
+
+@partial(jax.jit, static_argnames=("model", "tx"))
+def train_step(model: PreconditionerNet, tx, state: TrainState,
+               batch: DeviceBatch):
+    """One optimization step (forward, inverse_loss, grad, Adam update)."""
+    loss, grads = jax.value_and_grad(
+        lambda p: _loss_from_batch(model, p, batch)
+    )(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+@partial(jax.jit, static_argnames=("model", "max_iter"))
+def _validate_device(model: PreconditionerNet, params, batch: DeviceBatch,
+                     max_iter: int = 1024):
+    """Validation compute: loss + batched dense PCG with M = L L^T.
+
+    Mirrors train.py:67-108: reconstruct full symmetric A, build the dense
+    preconditioner from the net output, PCG to the reference stopping rule,
+    record iterations.  Batched via vmap instead of a Python loop.
+    """
+    values = batched_apply(model, params, batch.features, batch.plans)
+    n = batch.solutions.shape[1]
+    l_dense = output_to_dense(values, batch.plans[-1], n)
+    a_tril = batch.systems.to_dense()
+    loss = metrics_lib.inverse_loss(a_tril, l_dense)
+
+    a_full = metrics_lib.symmetrize_tril(a_tril)
+    m = jnp.einsum("bij,bkj->bik", l_dense, l_dense)
+
+    def solve_one(a, b, mm):
+        return preconditioned_conjugate_gradient(
+            dense_matvec, a, b, dense_matvec, mm, max_iter=max_iter
+        )
+
+    results = jax.vmap(solve_one)(a_full, batch.right_hand_sides, m)
+    return loss, results.iterations
+
+
+def validate(model, params, dataset, logger: MetricsLogger | None = None,
+             max_iter: int = 1024):
+    """Run validation over a dataset; returns (mean loss, mean iters,
+    mean wall-seconds per batch solve)."""
+    losses, iters, durations = [], [], []
+    for i in range(len(dataset)):
+        batch = dataset[i]
+        start = time.perf_counter()
+        loss, its = _validate_device(model, params, batch,
+                                     max_iter=max_iter)
+        loss = float(loss)
+        its = np.asarray(its)
+        durations.append(time.perf_counter() - start)
+        losses.append(loss)
+        iters.extend(its.tolist())
+    return (
+        float(np.mean(losses)),
+        float(np.mean(iters)),
+        float(np.mean(durations)),
+    )
+
+
+def save_checkpoint(path: Path, model, state: TrainState) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": int(state.step),
+        "channels": list(model.channels),
+    }
+    path.write_bytes(serialization.to_bytes(payload))
+
+
+def load_checkpoint(path: Path) -> dict:
+    """Restore a checkpoint payload (full resume, unlike the reference).
+
+    Returns {"params", "opt_state", "step", "channels"}; flax params are
+    plain nested dicts, so ``payload["params"]`` feeds ``model.apply``
+    directly and ``payload["opt_state"]`` can be rebuilt into an optax
+    state via tree-unflattening against ``tx.init(params)``.
+    """
+    payload = serialization.msgpack_restore(Path(path).read_bytes())
+    return payload
+
+
+def resume_state(path: Path, tx) -> TrainState:
+    """Rebuild a typed TrainState from a saved checkpoint."""
+    payload = load_checkpoint(path)
+    params = payload["params"]
+    opt_template = tx.init(params)
+    flat_saved = jax.tree.leaves(payload["opt_state"])
+    treedef = jax.tree.structure(opt_template)
+    opt_state = jax.tree.unflatten(treedef, flat_saved)
+    return TrainState(params, opt_state, jnp.int32(payload["step"]))
+
+
+def train(
+    model: PreconditionerNet,
+    train_set,
+    val_set,
+    learning_rate: float = 1e-3,
+    patience: int = 16,
+    max_epochs: int = 10_000,
+    checkpoint_dir: Path | str = Path("assets/checkpoints"),
+    metrics_dir: Path | str = Path("assets/metrics"),
+    seed: int = 69,
+    log_every: bool = True,
+) -> TrainState:
+    """Full training loop (train.py:139-190 semantics; seed 69 parity).
+
+    The reference runs ``while True`` with early stopping only
+    (train.py:171); ``max_epochs`` adds a configurable bound.
+    """
+    checkpoint_dir = Path(checkpoint_dir)
+    tx = optax.adam(learning_rate)
+
+    batch0 = train_set[0]
+    sample_plans = [jax.tree.map(lambda x: x[0], p) for p in batch0.plans]
+    params = model.init(
+        jax.random.PRNGKey(seed), batch0.features[0], sample_plans
+    )
+    state = TrainState(params, tx.init(params), jnp.int32(0))
+
+    logger = MetricsLogger(metrics_dir) if log_every else None
+    stopper = EarlyStopping(patience=patience)
+    best_val = float("inf")
+
+    for epoch in range(max_epochs):
+        epoch_losses = []
+        for i in range(len(train_set)):
+            state, loss = train_step(model, tx, state, train_set[i])
+            epoch_losses.append(float(loss))
+        train_loss = float(np.mean(epoch_losses))
+
+        val_loss, val_iters, val_duration = validate(
+            model, state.params, val_set
+        )
+
+        if logger:
+            logger.log_metric("train/loss/inverse", train_loss)
+            logger.log_metric("val/loss/inverse", val_loss)
+            logger.log_metric("val/metric/durations", val_duration)
+            logger.log_metric("val/metric/iterations", val_iters)
+            logger.next_step()
+
+        save_checkpoint(checkpoint_dir / "latest.msgpack", model, state)
+        if val_loss < best_val:
+            best_val = val_loss
+            save_checkpoint(checkpoint_dir / "best.msgpack", model, state)
+
+        if stopper(val_loss):
+            break
+
+    if logger:
+        logger.close()
+    return state
