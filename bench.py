@@ -1,0 +1,152 @@
+"""Round benchmark — prints ONE JSON line for the driver.
+
+Headline metric: end-to-end PCG total time (setup + solve, the
+reference's "totals" column, test.py:148) of the learned preconditioner
+vs Jacobi on the sludge-pattern test split, run on the real TPU chip.
+``vs_baseline`` is the speedup over Jacobi — the reference publishes no
+absolute numbers (BASELINE.md), so the classical-preconditioner-on-
+same-hardware ratio is the comparable quantity.
+
+Extra context rides in "details": per-technique mean iterations/totals
+and an ELL SpMV throughput microbenchmark (Gnnz/s) on a 512^2 Poisson
+system.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+REPO = Path(__file__).resolve().parent
+
+
+def _ensure_dataset(root: Path, samples: int = 100) -> None:
+    out = root / "sludge_patterns"
+    if out.exists() and len(list(out.glob("case_*"))) >= samples:
+        return
+    from deeppreconditioning_tpu.data.fvm import (
+        generate_sludge_case,
+        save_case,
+    )
+
+    rng = np.random.default_rng(69420)
+    for i in range(samples):
+        case = generate_sludge_case(rng, mesh_cells=2)
+        save_case(case, out / f"case_{i:04d}")
+
+
+def _spmv_throughput() -> dict:
+    """ELL SpMV Gnnz/s on a 512x512 2-D Poisson system (single chip)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from deeppreconditioning_tpu.sparse import ELLMatrix
+
+    nx = 512
+    n = nx * nx
+    ident = sp.eye(nx)
+    t1d = sp.diags(
+        [-np.ones(nx - 1), 2.0 * np.ones(nx), -np.ones(nx - 1)],
+        [-1, 0, 1],
+    )
+    a = (sp.kron(ident, t1d) + sp.kron(t1d, ident)).tocsr()
+    ell = ELLMatrix.from_scipy(a, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(ell.n_pad), jnp.float32
+    )
+    matvec = jax.jit(lambda e, v: e.matvec(v))
+    y = matvec(ell, x)
+    y.block_until_ready()
+    iters = 50
+    start = time.perf_counter()
+    for _ in range(iters):
+        x = matvec(ell, x)
+    x.block_until_ready()
+    dt = (time.perf_counter() - start) / iters
+    return {
+        "spmv_n": n,
+        "spmv_nnz": int(a.nnz),
+        "spmv_gnnz_per_s": a.nnz / dt / 1e9,
+        "spmv_us": dt * 1e6,
+    }
+
+
+def main() -> None:
+    from deeppreconditioning_tpu.bench.suite import BenchmarkSuite
+    from deeppreconditioning_tpu.config import params_show
+    from deeppreconditioning_tpu.data.datasets import SludgePatternDataSet
+    from deeppreconditioning_tpu.models import (
+        PreconditionerNet,
+        precond_net_specs,
+    )
+    from deeppreconditioning_tpu.train.trainer import load_checkpoint
+
+    params = params_show(REPO / "params.yaml")
+    root = REPO / params.data_root
+    _ensure_dataset(root)
+
+    specs = precond_net_specs(params.channels)
+    data_set = SludgePatternDataSet(
+        stage="test", batch_size=1, specs=specs, shuffle=False, root=root
+    )
+    # bound the sweep so bench stays O(minutes)
+    data_set._host = data_set._host[:20]
+
+    ckpt = REPO / params.checkpoint_dir / "best.msgpack"
+    model = PreconditionerNet(channels=tuple(params.channels))
+    model_params = None
+    if ckpt.exists():
+        model_params = load_checkpoint(ckpt)["params"]
+
+    techniques = (
+        ("vanilla", "jacobi", "incomplete_cholesky", "learned")
+        if model_params is not None
+        else ("vanilla", "jacobi", "incomplete_cholesky")
+    )
+    suite = BenchmarkSuite(
+        data_set, model, model_params,
+        techniques=techniques,
+        kappa_cases=0,
+        results_directory=REPO / "assets" / "results",
+    )
+    suite.run()
+    summary = suite.summary()
+
+    details = {
+        name: {
+            "iterations": stats["iterations"],
+            "total_ms": stats["total"] * 1e3,
+            "solve_ms": stats["duration"] * 1e3,
+            "success": stats["success"],
+        }
+        for name, stats in summary.items()
+    }
+    details.update(_spmv_throughput())
+
+    if "learned" in summary:
+        speedup = (
+            summary["jacobi"]["total"] / summary["learned"]["total"]
+        )
+        metric = "learned_vs_jacobi_total_speedup"
+    else:
+        speedup = (
+            summary["vanilla"]["duration"] / summary["jacobi"]["duration"]
+        )
+        metric = "jacobi_vs_vanilla_solve_speedup"
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(speedup), 4),
+        "unit": "x",
+        "vs_baseline": round(float(speedup), 4),
+        "details": details,
+    }))
+
+
+if __name__ == "__main__":
+    main()

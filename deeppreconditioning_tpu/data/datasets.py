@@ -121,7 +121,7 @@ class PlannedDataSet:
     """
 
     def __init__(self, batch_size: int, specs: Sequence[ConvSpec],
-                 cache_batches: int = 16) -> None:
+                 cache_batches: int = 256) -> None:
         self.batch_size = batch_size
         self.specs = list(specs)
         self._raw: List[tuple] = []  # (rows, cols, vals, sol, rhs)

@@ -100,7 +100,9 @@ class PreconditionerNet(nn.Module):
             if li < len(specs) - 1:
                 # PReLU with torch's default 0.25 slope init (model.py:29,37)
                 alpha = self.param(
-                    f"prelu{li}", lambda key, sh: jnp.full(sh, 0.25), (1,)
+                    f"prelu{li}",
+                    lambda key, sh: jnp.full(sh, 0.25, jnp.float32),
+                    (1,),
                 )
                 x = jnp.where(x >= 0, x, alpha * x)
 

@@ -1,0 +1,189 @@
+"""Sparse triangular solve via level scheduling — the TPU-correct apply
+path for factored preconditioners (z = L^-T L^-1 r).
+
+The reference never tri-solves (it applies preconditioners as matvecs,
+cg.py:81), but a real IC/learned-factor pipeline needs it.  Sequential
+forward substitution is hostile to any accelerator; the standard answer
+(cf. PAPERS.md: parallel sparse triangular solve literature) is *level
+scheduling*: rows are grouped into levels such that every row in a level
+depends only on rows in earlier levels, so each level is one data-parallel
+wave.  For FVM/Poisson-like patterns the level count is O(grid diameter),
+not O(n).
+
+Host side (`build_tri_schedule`): topological levelization of the
+dependency DAG + repack of each level's rows into a padded ELL block —
+static shapes throughout, one `lax.scan` over levels on device.
+
+Device side (`tri_solve_lower` / `tri_solve_upper`): per level,
+``x[rows] = (b[rows] - sum_k vals * x[cols]) / diag`` — a gather,
+a row-sum, and a scatter per wave; everything stays in registers/VMEM at
+these sizes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from flax import struct
+
+
+@struct.dataclass
+class TriSchedule:
+    """Level-scheduled lower-triangular matrix, padded for lax.scan.
+
+    Shapes: n_levels x rows_pad (level membership) and
+    n_levels x rows_pad x k (off-diagonal ELL entries).
+
+    Attributes:
+        rows: int32 (L, R) — row index per slot; sentinel n_pad.
+        cols: int32 (L, R, K) — column indices of strictly-lower entries;
+            sentinel n_pad (gathers a trailing zero).
+        vals: (L, R, K) — matching values.
+        diag: (L, R) — diagonal entry per row (1 in padding).
+        n: static true dimension; n_pad = padded x length.
+    """
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    diag: jax.Array
+    n: int = struct.field(pytree_node=False)
+    n_pad: int = struct.field(pytree_node=False)
+
+    @property
+    def n_levels(self) -> int:
+        return self.rows.shape[0]
+
+
+def compute_levels(l_csr: sp.csr_matrix) -> np.ndarray:
+    """level[i] = longest dependency chain ending at row i (host)."""
+    n = l_csr.shape[0]
+    indptr, indices = l_csr.indptr, l_csr.indices
+    levels = np.zeros(n, np.int32)
+    for i in range(n):
+        lo, hi = indptr[i], indptr[i + 1]
+        deps = indices[lo:hi]
+        deps = deps[deps < i]
+        if deps.size:
+            levels[i] = levels[deps].max() + 1
+    return levels
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((max(n, 1) + m - 1) // m) * m
+
+
+def build_tri_schedule(l_factor: sp.spmatrix,
+                       n_pad: int | None = None,
+                       level_bucket: int = 8,
+                       row_bucket: int = 64) -> TriSchedule:
+    """Build the padded level schedule for a lower-triangular factor.
+
+    Level count and per-level row count are rounded up to buckets so that
+    schedules for same-family matrices share shapes and hit one compiled
+    solver executable across a benchmark sweep.
+    """
+    csr = sp.tril(l_factor.tocsr(), format="csr")
+    n = csr.shape[0]
+    if n_pad is None:
+        n_pad = ((n + 7) // 8) * 8
+    levels = compute_levels(csr)
+    n_levels = int(levels.max()) + 1 if n else 1
+
+    diag_all = csr.diagonal()
+    assert (diag_all != 0).all(), "singular triangular factor"
+
+    by_level = [np.where(levels == lv)[0] for lv in range(n_levels)]
+    rows_pad = _round_up(max(len(b) for b in by_level), row_bucket)
+    n_levels = _round_up(n_levels, level_bucket)
+    by_level = by_level + [np.empty(0, np.int64)] * (
+        n_levels - len(by_level)
+    )
+    strict_counts = np.zeros(n, np.int64)
+    for i in range(n):
+        lo, hi = csr.indptr[i], csr.indptr[i + 1]
+        strict_counts[i] = np.sum(csr.indices[lo:hi] < i)
+    k = max(int(strict_counts.max()), 1)
+
+    rows = np.full((n_levels, rows_pad), n_pad, np.int32)
+    cols = np.full((n_levels, rows_pad, k), n_pad, np.int32)
+    vals = np.zeros((n_levels, rows_pad, k), np.float64)
+    diag = np.ones((n_levels, rows_pad), np.float64)
+
+    for lv, members in enumerate(by_level):
+        for slot, i in enumerate(members):
+            rows[lv, slot] = i
+            diag[lv, slot] = diag_all[i]
+            lo, hi = csr.indptr[i], csr.indptr[i + 1]
+            ci = csr.indices[lo:hi]
+            vi = csr.data[lo:hi]
+            strict = ci < i
+            nstrict = int(strict.sum())
+            cols[lv, slot, :nstrict] = ci[strict]
+            vals[lv, slot, :nstrict] = vi[strict]
+
+    return TriSchedule(
+        rows=jnp.asarray(rows),
+        cols=jnp.asarray(cols),
+        vals=jnp.asarray(vals),
+        diag=jnp.asarray(diag),
+        n=n,
+        n_pad=n_pad,
+    )
+
+
+def tri_solve_lower(schedule: TriSchedule, b: jax.Array) -> jax.Array:
+    """Solve L x = b.  b has shape (n_pad,); returns x (n_pad,)."""
+    dtype = b.dtype
+    x0 = jnp.zeros((schedule.n_pad + 1,), dtype)
+    b_ext = jnp.concatenate([b, jnp.zeros((1,), dtype)])
+
+    def wave(x, level):
+        rows, cols, vals, diag = level
+        acc = jnp.sum(vals.astype(dtype) * x[cols], axis=1)
+        xi = (b_ext[rows] - acc) / diag.astype(dtype)
+        x = x.at[rows].set(xi)  # sentinel rows write slot n_pad (dropped)
+        return x, None
+
+    x, _ = jax.lax.scan(
+        wave, x0,
+        (schedule.rows, schedule.cols, schedule.vals, schedule.diag),
+    )
+    return x[:-1]
+
+
+def transpose_schedule(l_factor: sp.spmatrix,
+                       n_pad: int | None = None) -> TriSchedule:
+    """Schedule for solving L^T x = b, built as a *lower*-triangular
+    schedule of the permuted problem.
+
+    L^T is upper triangular; reversing both row and column order turns it
+    back into a lower-triangular system, so one kernel serves both sweeps.
+    """
+    csr = sp.tril(l_factor.tocsr(), format="csr")
+    n = csr.shape[0]
+    perm = np.arange(n)[::-1]
+    ut = csr.T.tocsr()
+    flipped = ut[perm][:, perm].tocsr()
+    return build_tri_schedule(flipped, n_pad=n_pad)
+
+
+def tri_solve_upper_from_flipped(schedule: TriSchedule,
+                                 b: jax.Array) -> jax.Array:
+    """Solve L^T x = b using the flipped schedule from
+    ``transpose_schedule``.  Handles the index reversal on device."""
+    n, n_pad = schedule.n, schedule.n_pad
+    idx = jnp.arange(n_pad)
+    rev = jnp.where(idx < n, n - 1 - idx, idx)  # reverse first n entries
+    b_flipped = b[rev]
+    y = tri_solve_lower(schedule, b_flipped)
+    return y[rev]
+
+
+def ic_apply(lower: TriSchedule, upper_flipped: TriSchedule,
+             r: jax.Array) -> jax.Array:
+    """z = L^-T (L^-1 r) — the factored-preconditioner apply."""
+    y = tri_solve_lower(lower, r)
+    return tri_solve_upper_from_flipped(upper_flipped, y)

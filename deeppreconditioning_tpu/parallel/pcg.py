@@ -1,0 +1,187 @@
+"""Distributed PCG: row-partitioned SpMV + psum scalars under shard_map.
+
+The distributed numeric contract matches the single-device solver
+(solvers/cg.py, itself matching reference cg.py:50-90) bit-for-bit modulo
+floating-point reduction order: same update sequence, same squared
+relative-residual stopping rule, same iteration cap.  Every dot product
+becomes a local partial dot + ``jax.lax.psum`` over the mesh axis
+(SURVEY.md §2.4 item 3); the SpMV comes in two exchange flavors:
+
+  * ``allgather`` — gather the full x each application.  Exact for any
+    sparsity pattern; right for small n or unstructured patterns.
+  * ``halo`` — exchange fixed-width boundary slabs with ring neighbors
+    via ``ppermute`` (SURVEY.md §2.4 item 2).  Exact when the matrix
+    bandwidth <= halo width (FVM/Poisson row orderings); communication
+    is O(halo) instead of O(n) and rides the ICI ring.
+
+Preconditioner applies are shard-local (diagonal / block-Jacobi), so
+z = M r needs no communication (SURVEY.md §2.4 item 4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from deeppreconditioning_tpu.parallel.partition import ShardedELL
+from deeppreconditioning_tpu.solvers.cg import CGResult
+
+
+def identity_local(m_data, r):
+    del m_data
+    return r
+
+
+def diag_local(m_data, r):
+    """Shard-local Jacobi apply: m_data is the local slice of 1/diag."""
+    return m_data * r
+
+
+def sharded_matvec(cols, vals, x_local, axis_name, mode, halo, n_total):
+    """Local rows of y = A x, communicating x as needed (shard-local
+    view; call inside shard_map)."""
+    if mode == "halo":
+        return _matvec_halo(cols, vals, x_local, axis_name, halo, n_total)
+    return _matvec_allgather(cols, vals, x_local, axis_name)
+
+
+def _matvec_allgather(cols, vals, x_local, axis_name):
+    x_full = jax.lax.all_gather(x_local, axis_name, tiled=True)
+    x_ext = jnp.concatenate([x_full, jnp.zeros((1,), x_full.dtype)])
+    return jnp.sum(vals * x_ext[cols], axis=1)
+
+
+def _matvec_halo(cols, vals, x_local, axis_name, halo, n_total):
+    """Single-neighbor halo exchange (exact iff bandwidth <= halo).
+
+    Each shard receives the last `halo` entries of its left neighbor and
+    the first `halo` entries of its right neighbor; global column g maps
+    to position g - shard_start + halo in the extended local vector.
+    Ring wrap-around slabs are never addressed: edge shards have no
+    out-of-domain columns.
+    """
+    r = x_local.shape[0]
+    axis_size = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    right_perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    left_perm = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+    from_left = jax.lax.ppermute(x_local[-halo:], axis_name, right_perm)
+    from_right = jax.lax.ppermute(x_local[:halo], axis_name, left_perm)
+    x_ext = jnp.concatenate(
+        [from_left, x_local, from_right, jnp.zeros((1,), x_local.dtype)]
+    )
+    shard_start = idx * r
+    local_cols = jnp.where(
+        cols >= n_total, 2 * halo + r, cols - shard_start + halo
+    )
+    local_cols = jnp.clip(local_cols, 0, 2 * halo + r)
+    return jnp.sum(vals * x_ext[local_cols], axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis_name", "mode", "apply_m", "max_iter",
+        "n_shards", "halo", "n_total",
+    ),
+)
+def _pcg_sharded_impl(
+    mesh, cols, vals, b, m_arg, apply_m, axis_name, mode,
+    rtol, max_iter, n_shards, halo, n_total,
+):
+    def solve_local(cols, vals, b, m_local):
+        def matvec(x):
+            return sharded_matvec(
+                cols, vals, x, axis_name, mode, max(halo, 1), n_total
+            )
+
+        def pdot(u, v):
+            return jax.lax.psum(jnp.dot(u, v), axis_name)
+
+        x = jnp.zeros_like(b)
+        r = b - matvec(x)
+        z = apply_m(m_local, r)
+        p = z
+        bb = pdot(b, b)
+        bb = jnp.where(bb == 0, 1.0, bb)
+
+        def cond(state):
+            _, r, _, _, k = state
+            return jnp.logical_and(
+                pdot(r, r) / bb >= rtol, k < max_iter
+            )
+
+        def body(state):
+            x, r, z, p, k = state
+            ap = matvec(p)
+            rz = pdot(r, z)
+            alpha = rz / pdot(ap, p)
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = apply_m(m_local, r)
+            beta = pdot(r, z) / rz
+            p = z + beta * p
+            return (x, r, z, p, k + 1)
+
+        x, r, z, p, k = jax.lax.while_loop(
+            cond, body, (x, r, z, p, jnp.int32(0))
+        )
+        return x, k, pdot(r, r) / bb
+
+    mapped = _shard_map(
+        solve_local,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(), P()),
+        check_vma=False,
+    )
+    return mapped(cols, vals, b, m_arg)
+
+
+def pcg_sharded(
+    mesh: Mesh,
+    a: ShardedELL,
+    b: jax.Array,  # (n_total,) global vector (sharded or replicated)
+    m_data: Any = None,
+    apply_m: Callable = identity_local,
+    axis_name: str = "x",
+    mode: str = "allgather",
+    rtol: float = 1e-8,
+    max_iter: int = 1024,
+) -> CGResult:
+    """Distributed PCG over a 1-D mesh axis.
+
+    ``apply_m(m_local, r_local)`` must be shard-local; ``m_data`` is a
+    (n_total,)-shaped pytree sharded like b (e.g. inverse diagonal for
+    Jacobi, or block tri-schedules for block-Jacobi IC).
+    """
+    if mode == "halo":
+        assert a.halo <= a.rows_per_shard, (
+            f"bandwidth {a.halo} exceeds shard rows "
+            f"{a.rows_per_shard}; use mode='allgather'"
+        )
+    m_arg = (
+        m_data if m_data is not None
+        else jnp.zeros((a.n_total,), b.dtype)
+    )
+    x, k, res = _pcg_sharded_impl(
+        mesh, a.cols, a.vals, b, m_arg, apply_m, axis_name, mode,
+        rtol, max_iter, a.n_shards, a.halo, a.n_total,
+    )
+    return CGResult(x=x, iterations=k, residual=res)
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "x") -> Mesh:
+    """A 1-D mesh over the first n_devices jax devices."""
+    devs = np.array(jax.devices()[: n_devices or len(jax.devices())])
+    return Mesh(devs, (axis_name,))

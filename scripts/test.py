@@ -1,0 +1,69 @@
+"""Test stage — preconditioner benchmark (dvc.yaml:29-43 parity).
+
+Mirrors the reference test entry point (test.py:201-221): load the test
+split with batch size 1, restore the trained model, run the benchmark
+suite, dump table.csv / totals.csv / eigenvalues.csv.
+
+Usage: python scripts/test.py [--kappa-cases N]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from deeppreconditioning_tpu.bench.suite import BenchmarkSuite  # noqa: E402
+from deeppreconditioning_tpu.config import (  # noqa: E402
+    get_dataset_class,
+    get_model_class,
+    params_show,
+)
+from deeppreconditioning_tpu.models import precond_net_specs  # noqa: E402
+from deeppreconditioning_tpu.train.trainer import load_checkpoint  # noqa: E402
+
+
+def main() -> None:
+    params = params_show()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--kappa-cases", type=int, default=5)
+    parser.add_argument("--checkpoint", type=Path, default=None)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    specs = precond_net_specs(params.channels)
+    dataset_cls = get_dataset_class(params.data)
+    data_set = dataset_cls(
+        stage="test",
+        batch_size=1,
+        specs=specs,
+        shuffle=False,
+        root=Path(params.data_root),
+    )
+
+    model_cls = get_model_class(params.model)
+    model = model_cls(channels=tuple(params.channels))
+    ckpt_path = args.checkpoint or (
+        Path(params.checkpoint_dir) / "best.msgpack"
+    )
+    payload = load_checkpoint(ckpt_path)
+    model_params = payload["params"]
+
+    suite = BenchmarkSuite(
+        data_set,
+        model,
+        model_params,
+        kappa_cases=args.kappa_cases,
+        results_directory=Path(params.results_dir),
+    )
+    suite.run(verbose=args.verbose)
+    suite.dump_csv()
+    for name, stats in suite.summary().items():
+        print(f"{name}: iters={stats['iterations']:.1f} "
+              f"total={stats['total'] * 1e3:.2f}ms "
+              f"kappa={stats['kappa']:.3g} "
+              f"success={stats['success']:.0f}%")
+
+
+if __name__ == "__main__":
+    main()

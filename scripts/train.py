@@ -1,0 +1,83 @@
+"""Train stage — learned preconditioner training (dvc.yaml:14-28 parity).
+
+Mirrors the reference train entry point (train.py:139-190): params from
+params.yaml, string-keyed model/dataset selection, 95/5 train/val split
+of the train folders, Adam, early stopping, checkpoints + metric series.
+
+Usage: python scripts/train.py [--max-epochs N]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from deeppreconditioning_tpu.config import (  # noqa: E402
+    get_dataset_class,
+    get_model_class,
+    params_show,
+)
+from deeppreconditioning_tpu.models import precond_net_specs  # noqa: E402
+from deeppreconditioning_tpu.train.trainer import train  # noqa: E402
+
+
+class _SubsetView:
+    """Contiguous batch-index view of a PlannedDataSet (95/5 split,
+    train.py:152 random_split equivalent — split at batch granularity)."""
+
+    def __init__(self, base, indices):
+        self.base = base
+        self.indices = list(indices)
+        self.batch_size = base.batch_size
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.base[self.indices[i]]
+
+
+def main() -> None:
+    params = params_show()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--max-epochs", type=int,
+                        default=params.max_epochs)
+    args = parser.parse_args()
+
+    specs = precond_net_specs(params.channels)
+    dataset_cls = get_dataset_class(params.data)
+    full = dataset_cls(
+        stage="train",
+        batch_size=params.batch_size,
+        specs=specs,
+        root=Path(params.data_root),
+        seed=params.seed,
+    )
+    n_batches = len(full)
+    n_val = max(1, n_batches * 5 // 100)
+    train_set = _SubsetView(full, range(n_batches - n_val))
+    val_set = _SubsetView(full, range(n_batches - n_val, n_batches))
+    print(f"train batches: {len(train_set)}, val batches: {len(val_set)}, "
+          f"dof_pad: {full.dof_pad}")
+
+    model_cls = get_model_class(params.model)
+    model = model_cls(channels=tuple(params.channels))
+
+    state = train(
+        model,
+        train_set,
+        val_set,
+        learning_rate=params.learning_rate,
+        patience=params.patience,
+        max_epochs=args.max_epochs,
+        checkpoint_dir=Path(params.checkpoint_dir),
+        metrics_dir=Path(params.metrics_dir),
+        seed=params.seed,
+    )
+    print(f"finished at step {int(state.step)}; checkpoints in "
+          f"{params.checkpoint_dir}")
+
+
+if __name__ == "__main__":
+    main()
