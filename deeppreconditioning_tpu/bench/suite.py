@@ -109,11 +109,22 @@ class BenchmarkSuite:
 
     # -- system reconstruction (test.py:61-68) ---------------------------
     def _reconstruct(self, batch):
+        """Rebuild the RAW system A = D^1/2 A~ D^1/2, b = D^1/2 b~.
+
+        All techniques compete on the unscaled system; the dataset's
+        symmetric Jacobi normalization is a *component of the learned
+        technique* (folded into its apply in _setup_learned), not a
+        freebie for the classical baselines.
+        """
         n0 = batch.original_sizes[0]
         tril = np.asarray(batch.systems.to_dense(), np.float64)[0]
+        d_sqrt = np.sqrt(np.asarray(batch.scales[0], np.float64))
         a_full = tril + np.tril(tril, -1).T
+        a_full = a_full * np.outer(d_sqrt, d_sqrt)
         a_sp = sp.csr_matrix(a_full[:n0, :n0])
-        rhs = np.asarray(batch.right_hand_sides[0], np.float64)[:n0]
+        rhs = (
+            np.asarray(batch.right_hand_sides[0], np.float64) * d_sqrt
+        )[:n0]
         return a_sp, a_full, rhs, n0
 
     # -- preconditioner constructors -------------------------------------
@@ -157,7 +168,11 @@ class BenchmarkSuite:
                                batch.plans)
         n = batch.solutions.shape[1]
         l_dense = output_to_dense(values, batch.plans[-1], n)
-        m = jnp.einsum("bij,bkj->bik", l_dense, l_dense)[0]
+        # fold the dataset's Jacobi scaling into the preconditioner:
+        # M_eff = D^-1/2 (L~ L~^T) D^-1/2 ~ A^-1
+        d_isqrt = 1.0 / jnp.sqrt(batch.scales[0].astype(l_dense.dtype))
+        l_eff = d_isqrt[:, None] * l_dense[0]
+        m = l_eff @ l_eff.T
         m.block_until_ready()
         n0 = a_sp.shape[0]
         m_np = np.asarray(m, np.float64)

@@ -53,9 +53,9 @@ class DeviceBatch(NamedTuple):
     features: jax.Array  # (B, nnz0_pad, 1) layer-0 conv input (scaled tril)
     plans: Tuple[LayerPlan, ...]  # batched per-layer index plans
     systems: BatchedCOO  # scaled tril(A_tilde), same site order as features
-    solutions: jax.Array  # (B, dof_pad)
+    solutions: jax.Array  # (B, dof_pad), solutions of the scaled systems
     right_hand_sides: jax.Array  # (B, dof_pad), scaled to match A_tilde
-    scales: jax.Array  # (B,) with A = scale * A_tilde
+    scales: jax.Array  # (B, dof_pad) diagonals D: A = D^1/2 A_tilde D^1/2
     original_sizes: Tuple[int, ...]  # true dofs (host static)
 
 
@@ -63,9 +63,9 @@ class _HostSample(NamedTuple):
     rows: np.ndarray
     cols: np.ndarray
     vals: np.ndarray  # scaled tril values incl. identity padding
-    solution: np.ndarray  # (dof_pad,)
+    solution: np.ndarray  # (dof_pad,) solution of the scaled system
     rhs: np.ndarray  # (dof_pad,) scaled
-    scale: float
+    scale: np.ndarray  # (dof_pad,) diagonal scale: A = D^1/2 A~ D^1/2
     original_size: int
 
 
@@ -82,15 +82,30 @@ def _prepare_sample(
     dof_pad: int,
     pad_value: float = 1.0,
 ) -> _HostSample:
-    """tril filter + identity padding + scalar normalization + site sort."""
+    """tril filter + identity padding + diagonal normalization + sort.
+
+    Normalization is symmetric Jacobi scaling A~ = D^-1/2 A D^-1/2 so the
+    scaled system has unit diagonal — the standard conditioning transform
+    in learned-preconditioner work (Haeusner et al., arXiv:2305.16368,
+    cited by the reference at data_set.py:314-318) and exactly the right
+    input scale for a CNN (FVM entries carry a dt/rho ~ 1e-6 factor
+    otherwise).  Preconditioning A~ with M~ is equivalent to
+    preconditioning A with D^-1/2 M~ D^-1/2, so nothing is lost: the
+    "learned" technique becomes scaling + CNN jointly.
+
+    The scaled ground truth satisfies A~ x~ = b~ with x~ = D^1/2 x and
+    b~ = D^-1/2 b.
+    """
     n = solution.shape[0]
     keep = rows >= cols  # data_set.py:89-93
     rows, cols, vals = rows[keep], cols[keep], vals[keep]
 
+    diag = np.ones(n)
     diag_mask = rows == cols
-    scale = float(np.max(vals[diag_mask])) if diag_mask.any() else 1.0
-    scale = scale if scale > 0 else 1.0
-    vals = vals / scale
+    diag[rows[diag_mask]] = vals[diag_mask]
+    assert (diag > 0).all(), "SPD input must have positive diagonal"
+    d_isqrt = 1.0 / np.sqrt(diag)
+    vals = vals * d_isqrt[rows] * d_isqrt[cols]
 
     # trivial 1*x=1 equations up to dof_pad (data_set.py:94-97; the
     # reference pads solution/rhs with constant 1, data_set.py:108-119)
@@ -102,10 +117,12 @@ def _prepare_sample(
     order = np.argsort(rows * dof_pad + cols, kind="stable")
     rows, cols, vals = rows[order], cols[order], vals[order]
 
+    scale = np.ones((dof_pad,))
+    scale[:n] = diag
     sol = np.full((dof_pad,), pad_value)
-    sol[:n] = solution
+    sol[:n] = solution / d_isqrt[:n]  # x~ = D^1/2 x
     b = np.full((dof_pad,), pad_value)
-    b[:n] = rhs / scale
+    b[:n] = rhs * d_isqrt[:n]  # b~ = D^-1/2 b
 
     return _HostSample(
         rows.astype(np.int32), cols.astype(np.int32), vals, sol, b,
@@ -204,7 +221,9 @@ class PlannedDataSet:
             right_hand_sides=jnp.asarray(
                 np.stack([h.rhs for h in members]), jnp.float32
             ),
-            scales=jnp.asarray([h.scale for h in members], jnp.float32),
+            scales=jnp.asarray(
+                np.stack([h.scale for h in members]), jnp.float32
+            ),
             original_sizes=tuple(h.original_size for h in members),
         )
 

@@ -36,16 +36,22 @@ def ic0_factor(a: sp.spmatrix) -> sp.csr_matrix:
     n = csr.shape[0]
     indptr, indices, data = csr.indptr, csr.indices, csr.data
 
+    from deeppreconditioning_tpu import native
+
+    use_native = native.available()
     alpha = 0.0
     diag = csr.diagonal()
     base = np.abs(diag).max() if n else 1.0
     for _attempt in range(40):
-        ldata = data.copy()
+        ldata = data.astype(np.float64).copy()
         if alpha:
             for i in range(n):
                 # diagonal entry is the last in each tril CSR row
                 ldata[indptr[i + 1] - 1] += alpha * base
-        ok = _ic0_inplace(n, indptr, indices, ldata)
+        if use_native:
+            ok = native.ic0(indptr, indices, ldata) == 0
+        else:
+            ok = _ic0_inplace(n, indptr, indices, ldata)
         if ok:
             return sp.csr_matrix((ldata, indices, indptr), shape=(n, n))
         alpha = max(2 * alpha, 1e-8)
@@ -94,10 +100,24 @@ def ict_factor(a: sp.spmatrix, add_fill_in: int = 1,
     (test.py:81-88): per row, entries with |l_ij| below threshold * row
     norm are dropped and at most (nnz_row(A) + add_fill_in) survive.
 
-    Dense left-looking row algorithm — O(n^2) memory, Python j-loop; a
-    setup-path fallback adequate for the reference's n <~ 5k regime (the
-    native C++ ICT in native/ is the scalable path).
+    Uses the sparse left-looking native C++ ICT (native/src/dptpu.cpp)
+    when built; otherwise a dense left-looking numpy fallback adequate
+    for the reference's n <~ 5k regime.
     """
+    from deeppreconditioning_tpu import native
+
+    if native.available():
+        full = a.tocsr()
+        full.sum_duplicates()
+        full.sort_indices()
+        l_indptr, l_indices, l_data = native.ict(
+            full.indptr.astype(np.int64), full.indices,
+            full.data.astype(np.float64), add_fill_in, threshold,
+        )
+        return sp.csr_matrix(
+            (l_data, l_indices, l_indptr), shape=full.shape
+        )
+
     csr = sp.tril(a.tocsr(), format="csr")
     n = csr.shape[0]
     nnz_row = np.diff(csr.indptr)

@@ -72,17 +72,31 @@ def _build_layer_plan_np(
     hw_in: Tuple[int, int],
     spec: ConvSpec,
 ) -> tuple:
-    """Compute output active set + gather maps for one layer (host numpy).
+    """Compute output active set + gather maps for one layer (host).
 
     Output site (i, j) is produced by input sites (i - ph + ki, j - pw + kj)
     for kernel offsets (ki, kj) — ordinary (not submanifold) convolution, so
     the output set is the input set dilated by the kernel footprint, exactly
     the active-set semantics of spconv's SparseConv2d.
+
+    Uses the native C++ builder (native/src/dptpu.cpp dptpu_conv_plan)
+    when libdptpu.so is built, numpy otherwise.  rows/cols must be sorted
+    by linearized id (datasets guarantee this; the numpy path re-sorts).
     """
     kh, kw = spec.kernel
     ph, pw = spec.padding
     h_out, w_out = spec.out_shape(hw_in)
     w_in = hw_in[1]
+
+    from deeppreconditioning_tpu import native
+
+    if native.available() and rows.shape[0] > 0:
+        lin = rows.astype(np.int64) * w_in + cols
+        if np.all(lin[:-1] <= lin[1:]):
+            out_rows, out_cols, gather = native.conv_plan(
+                rows, cols, hw_in[0], w_in, kh, kw, ph, pw
+            )
+            return out_rows, out_cols, gather, (h_out, w_out)
 
     lin_in = rows.astype(np.int64) * w_in + cols
     order = np.argsort(lin_in, kind="stable")

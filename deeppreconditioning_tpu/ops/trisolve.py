@@ -58,9 +58,14 @@ class TriSchedule:
 
 
 def compute_levels(l_csr: sp.csr_matrix) -> np.ndarray:
-    """level[i] = longest dependency chain ending at row i (host)."""
+    """level[i] = longest dependency chain ending at row i (host; native
+    C++ when libdptpu.so is built)."""
+    from deeppreconditioning_tpu import native
+
     n = l_csr.shape[0]
     indptr, indices = l_csr.indptr, l_csr.indices
+    if native.available() and n:
+        return native.levels(indptr.astype(np.int64), indices)
     levels = np.zeros(n, np.int32)
     for i in range(n):
         lo, hi = indptr[i], indptr[i + 1]

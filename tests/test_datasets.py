@@ -53,17 +53,25 @@ def test_sludge_batch_system_matches_case(sludge_root):
         a = sp.coo_matrix((z["data"], (z["row"], z["col"])),
                           shape=tuple(z["shape"]))
     dense_tril = np.asarray(batch.systems.to_dense())[0]
-    scale = float(batch.scales[0])
+    d = np.asarray(batch.scales[0], np.float64)
+    # undo the symmetric Jacobi scaling: A = D^1/2 A~ D^1/2
+    d_sqrt = np.sqrt(d[:n0])
     full_tril = np.tril(a.toarray())
     np.testing.assert_allclose(
-        dense_tril[:n0, :n0] * scale, full_tril, rtol=1e-5
+        dense_tril[:n0, :n0] * np.outer(d_sqrt, d_sqrt), full_tril,
+        rtol=1e-4, atol=1e-10,
     )
     # identity padding beyond n0 (data_set.py:94-97 semantics)
+    np.testing.assert_allclose(np.diag(dense_tril)[n0:], 1.0)
+    # the scaled system has unit diagonal
+    np.testing.assert_allclose(np.diag(dense_tril)[:n0], 1.0, rtol=1e-5)
+    # scaled ground truth still solves the scaled system
+    a_tilde = dense_tril + np.tril(dense_tril, -1).T
     np.testing.assert_allclose(
-        np.diag(dense_tril)[n0:], 1.0
+        a_tilde[:n0, :n0] @ np.asarray(batch.solutions[0])[:n0],
+        np.asarray(batch.right_hand_sides[0])[:n0],
+        rtol=1e-4, atol=1e-3,
     )
-    # max diag of the scaled system is 1
-    assert abs(np.diag(dense_tril)[:n0].max() - 1.0) < 1e-6
 
 
 def test_split_disjoint_and_8020(sludge_root):
