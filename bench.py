@@ -80,17 +80,17 @@ def main() -> None:
     from deeppreconditioning_tpu.bench.suite import BenchmarkSuite
     from deeppreconditioning_tpu.config import params_show
     from deeppreconditioning_tpu.data.datasets import SludgePatternDataSet
-    from deeppreconditioning_tpu.models import (
-        PreconditionerNet,
-        precond_net_specs,
+    from deeppreconditioning_tpu.config import (
+        get_model_class,
     )
+    from deeppreconditioning_tpu.models import plan_builder_for
     from deeppreconditioning_tpu.train.trainer import load_checkpoint
 
     params = params_show(REPO / "params.yaml")
     root = REPO / params.data_root
     _ensure_dataset(root)
 
-    specs = precond_net_specs(params.channels)
+    specs = plan_builder_for(params.model, params.channels)
     data_set = SludgePatternDataSet(
         stage="test", batch_size=1, specs=specs, shuffle=False, root=root
     )
@@ -98,7 +98,9 @@ def main() -> None:
     data_set._host = data_set._host[:20]
 
     ckpt = REPO / params.checkpoint_dir / "best.msgpack"
-    model = PreconditionerNet(channels=tuple(params.channels))
+    model = get_model_class(params.model)(
+        channels=tuple(params.channels)
+    )
     model_params = None
     if ckpt.exists():
         model_params = load_checkpoint(ckpt)["params"]

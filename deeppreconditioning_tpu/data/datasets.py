@@ -38,8 +38,8 @@ import numpy as np
 
 from deeppreconditioning_tpu.ops.sparse_conv import (
     ConvSpec,
-    LayerPlan,
     build_sample_plan,
+    pad_plans_by_level,
     stack_plans,
 )
 from deeppreconditioning_tpu.sparse.coo import BatchedCOO
@@ -137,10 +137,20 @@ class PlannedDataSet:
     calling ``_finalize``.
     """
 
-    def __init__(self, batch_size: int, specs: Sequence[ConvSpec],
-                 cache_batches: int = 256) -> None:
+    def __init__(self, batch_size: int, specs, cache_batches: int = 256
+                 ) -> None:
+        """`specs` is either a list of ConvSpecs (sequential chain) or
+        any object with ``build(rows, cols, hw) -> SamplePlanHost``
+        (e.g. models.sparse_unet.UNetPlanBuilder)."""
         self.batch_size = batch_size
-        self.specs = list(specs)
+        if hasattr(specs, "build"):
+            self._plan_build = specs.build
+            self.specs = specs
+        else:
+            self.specs = list(specs)
+            self._plan_build = (
+                lambda r, c, hw: build_sample_plan(r, c, hw, self.specs)
+            )
         self._raw: List[tuple] = []  # (rows, cols, vals, sol, rhs)
         self._get_batch = lru_cache(maxsize=cache_batches)(
             self._build_batch
@@ -155,19 +165,22 @@ class PlannedDataSet:
             for (r, c, v, s, b) in self._raw
         ]
         del self._raw
-        # dataset-global nnz buckets: build every plan once, keep sizes
+        # dataset-global per-level nnz buckets: build every plan once,
+        # keep only the site-set sizes
         self.nnz0_pad = round_up(
             max(h.rows.shape[0] for h in self._host), 256
         )
-        layer_max = None
+        level_max = None
         for h in self._host:
-            plan = build_sample_plan(
-                h.rows, h.cols, (self.dof_pad, self.dof_pad), self.specs
+            plan = self._plan_build(
+                h.rows, h.cols, (self.dof_pad, self.dof_pad)
             )
-            sizes = [r.shape[0] for r in plan.layer_rows]
-            layer_max = (sizes if layer_max is None
-                         else [max(a, b) for a, b in zip(layer_max, sizes)])
-        self._layer_buckets = [round_up(m, 256) for m in layer_max]
+            sizes = list(plan.level_nnz)
+            level_max = (sizes if level_max is None
+                         else [max(a, b) for a, b in zip(level_max, sizes)])
+        level_max[0] = max(level_max[0], self.nnz0_pad)
+        self._level_buckets = [round_up(m, 256) for m in level_max]
+        self._level_buckets[0] = self.nnz0_pad
 
     def __len__(self) -> int:
         return len(self._host) // self.batch_size
@@ -184,13 +197,12 @@ class PlannedDataSet:
         plans_host = []
         for h in members:
             plans_host.append(
-                build_sample_plan(
-                    h.rows, h.cols, (self.dof_pad, self.dof_pad), self.specs
-                )
+                self._plan_build(h.rows, h.cols,
+                                 (self.dof_pad, self.dof_pad))
             )
-        # pad to the dataset-global per-layer buckets so every batch hits
+        # pad to the dataset-global per-level buckets so every batch hits
         # the same compiled executable
-        padded = self._repad_to_global(plans_host)
+        padded = pad_plans_by_level(plans_host, self._level_buckets)
         plans = tuple(stack_plans(padded))
 
         feats = np.zeros((len(members), self.nnz0_pad, 1), np.float32)
@@ -226,39 +238,6 @@ class PlannedDataSet:
             ),
             original_sizes=tuple(h.original_size for h in members),
         )
-
-    def _repad_to_global(self, plans_host) -> list:
-        """Pad host plans to the dataset-global per-layer buckets."""
-        n_layers = len(self.specs)
-        out_pad = self._layer_buckets
-        in_pad = [self.nnz0_pad] + out_pad[:-1]
-        result = []
-        for p in plans_host:
-            layers = []
-            for li in range(n_layers):
-                nnz_out = p.layer_rows[li].shape[0]
-                np_out = out_pad[li]
-                sentinel = in_pad[li]
-                g = p.layer_gather[li]
-                gather = np.full((g.shape[0], np_out), sentinel, np.int32)
-                gather[:, :nnz_out] = np.where(g >= 0, g, sentinel)
-                rows = np.zeros((np_out,), np.int32)
-                cols = np.zeros((np_out,), np.int32)
-                rows[:nnz_out] = p.layer_rows[li]
-                cols[:nnz_out] = p.layer_cols[li]
-                valid = np.zeros((np_out,), bool)
-                valid[:nnz_out] = True
-                layers.append(
-                    LayerPlan(
-                        gather=jnp.asarray(gather),
-                        rows=jnp.asarray(rows),
-                        cols=jnp.asarray(cols),
-                        valid=jnp.asarray(valid),
-                    )
-                )
-            result.append(layers)
-        return result
-
 
 def _split_folders(folders: list, stage: str) -> list:
     """80/20 split by order (data_set.py:40-46)."""

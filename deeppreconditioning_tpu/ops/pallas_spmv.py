@@ -1,0 +1,104 @@
+"""Pallas TPU kernels for banded SpMV (DIA format).
+
+The hot loop of every CG iteration is one SpMV.  For banded matrices
+(sparse/dia.py) the kernel is a pure streaming FMA:
+
+    y[i] = sum_d vals[d][i] * x[i + off_d]
+
+Roofline: bytes = (n_diag + 2) * 4 bytes per row (read vals + x once,
+write y once; x tiles re-read only in the halo), flops = 2 * n_diag per
+row — ~0.5 flop/byte, firmly HBM-bandwidth-bound.  The kernel therefore
+optimizes purely for streaming: row tiles live in VMEM, the x tile is
+DMA'd once with its halo, each diagonal is a static-offset slice (no
+gather), and the grid walks row blocks so XLA double-buffers the tile
+DMAs automatically via the BlockSpec pipeline.
+
+Layout note: 1-D vectors are viewed as (rows, 128) tiles; halo slices at
+non-lane-aligned offsets lower to cheap lane-shift ops on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deeppreconditioning_tpu.sparse.dia import DIAMatrix
+
+
+def _dia_kernel(x_hbm, vals_ref, y_ref, x_scratch, sem, *, offsets,
+                tile, halo_pad):
+    """One row tile: DMA x[tile - halo .. tile + halo] then FMA diagonals.
+
+    x_hbm is the halo-padded vector in ANY/HBM; vals_ref is the (n_diag,
+    tile) VMEM block for this tile; y_ref the (tile,) output block.
+    """
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * tile, tile + 2 * halo_pad)],
+        x_scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+    acc = jnp.zeros((tile,), y_ref.dtype)
+    for d, off in enumerate(offsets):
+        acc = acc + vals_ref[d, :] * x_scratch[
+            pl.ds(halo_pad + off, tile)
+        ]
+    y_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def dia_matvec_pallas(a: DIAMatrix, x: jax.Array,
+                      tile: int = 8 * 1024) -> jax.Array:
+    """y = A @ x with the Pallas streaming kernel.
+
+    Requires n_pad % tile == 0 (DIAMatrix pads to 1024-multiples; pick
+    tile accordingly).  Falls back to the XLA matvec for tiny sizes.
+    """
+    n_pad = a.n_pad
+    if n_pad % tile != 0:
+        if n_pad < tile:
+            tile = n_pad
+        else:
+            raise ValueError(f"n_pad {n_pad} not divisible by tile {tile}")
+    halo = a.halo
+    # round halo so DMA slices stay lane-aligned
+    halo_pad = ((halo + 127) // 128) * 128 if halo else 0
+    x_ext = jnp.pad(x, (halo_pad, halo_pad))
+
+    grid = n_pad // tile
+    kernel = functools.partial(
+        _dia_kernel, offsets=a.offsets, tile=tile, halo_pad=halo_pad
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x_ext, manual DMA
+            pl.BlockSpec(
+                (a.vals.shape[0], tile),
+                lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile,), lambda i: (i,), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * halo_pad,), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(x_ext, a.vals)
+
+
+def dia_matvec(a: DIAMatrix, x: jax.Array) -> jax.Array:
+    """Dispatch: Pallas on TPU, XLA elsewhere (same math)."""
+    if jax.devices()[0].platform == "tpu":
+        return dia_matvec_pallas(a, x)
+    return a.matvec(x)

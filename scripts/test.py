@@ -19,7 +19,7 @@ from deeppreconditioning_tpu.config import (  # noqa: E402
     get_model_class,
     params_show,
 )
-from deeppreconditioning_tpu.models import precond_net_specs  # noqa: E402
+from deeppreconditioning_tpu.models import plan_builder_for  # noqa: E402
 from deeppreconditioning_tpu.train.trainer import load_checkpoint  # noqa: E402
 
 
@@ -31,7 +31,7 @@ def main() -> None:
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
-    specs = precond_net_specs(params.channels)
+    specs = plan_builder_for(params.model, params.channels)
     dataset_cls = get_dataset_class(params.data)
     data_set = dataset_cls(
         stage="test",

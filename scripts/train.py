@@ -18,7 +18,7 @@ from deeppreconditioning_tpu.config import (  # noqa: E402
     get_model_class,
     params_show,
 )
-from deeppreconditioning_tpu.models import precond_net_specs  # noqa: E402
+from deeppreconditioning_tpu.models import plan_builder_for  # noqa: E402
 from deeppreconditioning_tpu.train.trainer import train  # noqa: E402
 
 
@@ -45,7 +45,7 @@ def main() -> None:
                         default=params.max_epochs)
     args = parser.parse_args()
 
-    specs = precond_net_specs(params.channels)
+    specs = plan_builder_for(params.model, params.channels)
     dataset_cls = get_dataset_class(params.data)
     full = dataset_cls(
         stage="train",
