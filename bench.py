@@ -40,40 +40,39 @@ def _ensure_dataset(root: Path, samples: int = 100) -> None:
 
 
 def _spmv_throughput() -> dict:
-    """ELL SpMV Gnnz/s on a 512x512 2-D Poisson system (single chip)."""
+    """Banded SpMV Gnnz/s via the Pallas DIA kernel on 3-D 7-point
+    Poisson (the BASELINE.md roofline family), single chip.  Timing is
+    dependency-chained with one final sync."""
     import jax
     import jax.numpy as jnp
-    import scipy.sparse as sp
 
-    from deeppreconditioning_tpu.sparse import ELLMatrix
+    from deeppreconditioning_tpu.ops.pallas_spmv import dia_matvec
+    from deeppreconditioning_tpu.sparse.dia import poisson_dia
 
-    nx = 512
-    n = nx * nx
-    ident = sp.eye(nx)
-    t1d = sp.diags(
-        [-np.ones(nx - 1), 2.0 * np.ones(nx), -np.ones(nx - 1)],
-        [-1, 0, 1],
-    )
-    a = (sp.kron(ident, t1d) + sp.kron(t1d, ident)).tocsr()
-    ell = ELLMatrix.from_scipy(a, dtype=jnp.float32)
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal(ell.n_pad), jnp.float32
-    )
-    matvec = jax.jit(lambda e, v: e.matvec(v))
-    y = matvec(ell, x)
-    y.block_until_ready()
-    iters = 50
-    start = time.perf_counter()
-    for _ in range(iters):
-        x = matvec(ell, x)
-    x.block_until_ready()
-    dt = (time.perf_counter() - start) / iters
-    return {
-        "spmv_n": n,
-        "spmv_nnz": int(a.nnz),
-        "spmv_gnnz_per_s": a.nnz / dt / 1e9,
-        "spmv_us": dt * 1e6,
-    }
+    out = {}
+    for label, shape in (("spmv_2d_512", (512, 512)),
+                         ("spmv_3d_128", (128, 128, 128))):
+        a = poisson_dia(shape, dtype=jnp.float32)
+        nnz = int(np.count_nonzero(np.asarray(a.vals)))
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(a.n_pad),
+            jnp.float32,
+        )
+        y = dia_matvec(a, x)
+        y.block_until_ready()
+        iters = 100
+        start = time.perf_counter()
+        for _ in range(iters):
+            x = dia_matvec(a, x)
+        x.block_until_ready()
+        dt = (time.perf_counter() - start) / iters
+        out[label] = {
+            "n": a.n,
+            "nnz": nnz,
+            "gnnz_per_s": round(nnz / dt / 1e9, 3),
+            "us": round(dt * 1e6, 1),
+        }
+    return out
 
 
 def main() -> None:

@@ -25,6 +25,7 @@ learned.  Differences from the reference, by design:
 from __future__ import annotations
 
 import csv
+import functools
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -60,6 +61,29 @@ def _diag_apply(d, r):
     return d * r
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _learned_setup_device(model, params, features, plans, scales, n0):
+    """Model forward -> masked effective preconditioner, one compiled
+    executable reused across all cases (shapes are dataset-global; n0 is
+    a traced scalar so per-case dof changes don't retrace)."""
+    values = batched_apply(model, params, features, plans)
+    n = scales.shape[1]
+    l_dense = output_to_dense(values, plans[-1], n)
+    # fold the dataset's Jacobi scaling into the preconditioner:
+    # M_eff = D^-1/2 (L~ L~^T) D^-1/2 ~ A^-1
+    d_isqrt = 1.0 / jnp.sqrt(scales[0].astype(l_dense.dtype))
+    l_eff = d_isqrt[:, None] * l_dense[0]
+    # zero coupling into padding rows (conv dilation activates sites
+    # beyond n0; leaving them in would make CG iterate on a singular
+    # padded subspace)
+    mask = jnp.arange(n) < n0
+    l_eff = jnp.where(mask[:, None], l_eff, 0.0)
+    l_eff = jnp.where(mask[None, :] | jnp.eye(n, dtype=bool), l_eff, 0.0)
+    m = l_eff @ l_eff.T
+    m = jnp.where(mask[:, None] & mask[None, :], m, 0.0)
+    return m
+
+
 def _tri_apply(md, r):
     return ic_apply(md[0], md[1], r)
 
@@ -87,6 +111,10 @@ class BenchmarkSuite:
     max_iter: int = 1024
     rtol: float = 1e-8
     dtype: object = jnp.float32
+    timing_reps: int = 10  # amortize device-sync latency: one
+    # block_until_ready costs ~35ms through a tunneled chip (vs ~0.1ms
+    # of actual solve compute), so solves/setups are timed as R
+    # dependency-chained repetitions with a single final sync
     kappa_cases: int = 5  # dense-SVD kappa/spectrum only for this many
     # leading cases — O(n^3) per case; the reference pays it everywhere
     # (test.py:139) because its GPU sits otherwise idle during CPU PCG
@@ -164,26 +192,24 @@ class BenchmarkSuite:
         return _tri_apply, (lower, upper), dens, m_sp
 
     def _setup_learned(self, a_sp, batch, ell, need_dense):
-        values = batched_apply(self.model, self.params, batch.features,
-                               batch.plans)
-        n = batch.solutions.shape[1]
-        l_dense = output_to_dense(values, batch.plans[-1], n)
-        # fold the dataset's Jacobi scaling into the preconditioner:
-        # M_eff = D^-1/2 (L~ L~^T) D^-1/2 ~ A^-1
-        d_isqrt = 1.0 / jnp.sqrt(batch.scales[0].astype(l_dense.dtype))
-        l_eff = d_isqrt[:, None] * l_dense[0]
-        m = l_eff @ l_eff.T
-        m.block_until_ready()
         n0 = a_sp.shape[0]
-        m_np = np.asarray(m, np.float64)
-        m_sp = sp.csr_matrix(m_np[:n0, :n0])
-        dens = 100.0 * m_sp.nnz / (n0 * n0)
-        # crop to the solver's padded size and zero the coupling into
-        # padding rows (conv dilation activates sites beyond n0; leaving
-        # them in would make CG iterate on a singular padded subspace)
-        m_pad = np.zeros((ell.n_pad, ell.n_pad), np.float64)
-        m_pad[:n0, :n0] = m_np[:n0, :n0]
-        return dense_matvec, jnp.asarray(m_pad, self.dtype), dens, m_sp
+        m = _learned_setup_device(
+            self.model, self.params, batch.features, batch.plans,
+            batch.scales, jnp.int32(n0),
+        )
+        assert m.shape[0] == ell.n_pad, (
+            "suite expects dataset-global padding == solver padding"
+        )
+        if need_dense:
+            m_np = np.asarray(m, np.float64)
+            m_sp = sp.csr_matrix(m_np[:n0, :n0])
+            dens = 100.0 * m_sp.nnz / (n0 * n0)
+        else:
+            m_sp = None
+            # device scalar — caller converts after the timed region so
+            # setup timing carries no extra host sync
+            dens = jnp.count_nonzero(m) * 100.0 / (n0 * n0)
+        return dense_matvec, m.astype(self.dtype), dens, m_sp
 
     # -- measurement ------------------------------------------------------
     def _solve(self, ell, b_dev, apply_m, m_data):
@@ -196,6 +222,22 @@ class BenchmarkSuite:
 
     def run(self, verbose: bool = False) -> None:
         eigenvalues = {}
+        # global warm-up on case 0 so per-case setup/solve timings are
+        # steady-state (XLA compiles once; static shapes keep it cached)
+        if len(self.data_set):
+            batch0 = self.data_set[0]
+            a0, _, rhs0, n00 = self._reconstruct(batch0)
+            ell0 = ELLMatrix.from_scipy(
+                a0, n_pad=batch0.solutions.shape[1], dtype=self.dtype
+            )
+            b0 = np.zeros(ell0.n_pad)
+            b0[:n00] = rhs0
+            for name in self.techniques:
+                apply_m, m_data, _, _ = getattr(self, f"_setup_{name}")(
+                    a0, batch0, ell0, False
+                )
+                self._solve(ell0, jnp.asarray(b0, self.dtype), apply_m,
+                            m_data)
         for index in range(len(self.data_set)):
             batch = self.data_set[index]
             a_sp, a_full, rhs, n0 = self._reconstruct(batch)
@@ -211,18 +253,29 @@ class BenchmarkSuite:
 
             for name in self.techniques:
                 need_dense = index < self.kappa_cases
+                setup_fn = getattr(self, f"_setup_{name}")
                 start = time.perf_counter()
-                apply_m, m_data, density, m_sp = getattr(
-                    self, f"_setup_{name}"
-                )(a_sp, batch, ell, need_dense)
-                setup = (time.perf_counter() - start
-                         if name != "vanilla" else 0.0)
+                for _ in range(self.timing_reps):
+                    apply_m, m_data, density, m_sp = setup_fn(
+                        a_sp, batch, ell, need_dense
+                    )
+                jax.block_until_ready(m_data)
+                setup = ((time.perf_counter() - start) /
+                         self.timing_reps if name != "vanilla" else 0.0)
+                density = float(density)
 
-                # warm-up (compile) then timed run
-                self._solve(ell, b_dev, apply_m, m_data)
-                start = time.perf_counter()
+                # warm-up (compile+transfer) then amortized timed runs
                 res = self._solve(ell, b_dev, apply_m, m_data)
-                duration = time.perf_counter() - start
+                start = time.perf_counter()
+                for _ in range(self.timing_reps):
+                    res = preconditioned_conjugate_gradient(
+                        ell_matvec, ell, b_dev, apply_m, m_data,
+                        rtol=self.rtol, max_iter=self.max_iter,
+                    )
+                jax.block_until_ready(res)
+                duration = (
+                    time.perf_counter() - start
+                ) / self.timing_reps
 
                 if need_dense and m_sp is not None:
                     ma = (m_sp @ a_sp).toarray()
@@ -259,8 +312,10 @@ class BenchmarkSuite:
         """Mean of every measured quantity per technique."""
         out = {}
         for name in self.techniques:
+            kap = np.asarray(self.kappas[name], float)
             out[name] = {
-                "kappa": float(np.nanmean(self.kappas[name])),
+                "kappa": (float(np.nanmean(kap))
+                          if np.isfinite(kap).any() else float("nan")),
                 "density": float(np.mean(self.densities[name])),
                 "iterations": float(np.mean(self.iterations[name])),
                 "setup": float(np.mean(self.setups[name])),

@@ -115,26 +115,40 @@ def _pcg_sharded_impl(
         bb = pdot(b, b)
         bb = jnp.where(bb == 0, 1.0, bb)
 
-        def cond(state):
-            _, r, _, _, k = state
-            return jnp.logical_and(
-                pdot(r, r) / bb >= rtol, k < max_iter
-            )
+        # chunked loop (see solvers/cg.py): fixed-trip masked iterations
+        # inside, data-dependent convergence check only per chunk — the
+        # check is a cross-host sync point on a real pod, so checking
+        # every iteration would serialize the mesh on host round trips.
+        check_every = 64
 
-        def body(state):
-            x, r, z, p, k = state
+        def masked_iter(state):
+            x, r, z, p, k, done = state
+            frozen = jnp.logical_or(done, k >= max_iter)
             ap = matvec(p)
             rz = pdot(r, z)
-            alpha = rz / pdot(ap, p)
+            denom = pdot(ap, p)
+            alpha = jnp.where(frozen, 0.0, rz / denom)
             x = x + alpha * p
-            r = r - alpha * ap
-            z = apply_m(m_local, r)
-            beta = pdot(r, z) / rz
-            p = z + beta * p
-            return (x, r, z, p, k + 1)
+            r_new = jnp.where(frozen, r, r - alpha * ap)
+            z_new = jnp.where(frozen, z, apply_m(m_local, r_new))
+            beta = jnp.where(frozen, 0.0, pdot(r_new, z_new) / rz)
+            p = jnp.where(frozen, p, z_new + beta * p)
+            k = jnp.where(frozen, k, k + 1)
+            done = jnp.logical_or(done, pdot(r_new, r_new) / bb < rtol)
+            return (x, r_new, z_new, p, k, done)
 
-        x, r, z, p, k = jax.lax.while_loop(
-            cond, body, (x, r, z, p, jnp.int32(0))
+        def chunk(state):
+            return jax.lax.fori_loop(
+                0, check_every, lambda i, s: masked_iter(s), state
+            )
+
+        def cond(state):
+            *_, k, done = state
+            return jnp.logical_and(jnp.logical_not(done), k < max_iter)
+
+        init_done = pdot(r, r) / bb < rtol
+        x, r, z, p, k, done = jax.lax.while_loop(
+            cond, chunk, (x, r, z, p, jnp.int32(0), init_done)
         )
         return x, k, pdot(r, r) / bb
 
