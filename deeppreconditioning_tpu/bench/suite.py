@@ -61,8 +61,9 @@ def _diag_apply(d, r):
     return d * r
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def _learned_setup_device(model, params, features, plans, scales, n0):
+@functools.partial(jax.jit, static_argnames=("model", "dtype"))
+def _learned_setup_device(model, params, features, plans, scales, n0,
+                          dtype=jnp.float32):
     """Model forward -> masked effective preconditioner, one compiled
     executable reused across all cases (shapes are dataset-global; n0 is
     a traced scalar so per-case dof changes don't retrace)."""
@@ -81,7 +82,7 @@ def _learned_setup_device(model, params, features, plans, scales, n0):
     l_eff = jnp.where(mask[None, :] | jnp.eye(n, dtype=bool), l_eff, 0.0)
     m = l_eff @ l_eff.T
     m = jnp.where(mask[:, None] & mask[None, :], m, 0.0)
-    return m
+    return m.astype(dtype), jnp.count_nonzero(m)
 
 
 def _tri_apply(md, r):
@@ -111,7 +112,7 @@ class BenchmarkSuite:
     max_iter: int = 1024
     rtol: float = 1e-8
     dtype: object = jnp.float32
-    timing_reps: int = 10  # amortize device-sync latency: one
+    timing_reps: int = 30  # amortize device-sync latency: one
     # block_until_ready costs ~35ms through a tunneled chip (vs ~0.1ms
     # of actual solve compute), so solves/setups are timed as R
     # dependency-chained repetitions with a single final sync
@@ -129,6 +130,10 @@ class BenchmarkSuite:
 
     def __post_init__(self):
         assert self.data_set.batch_size == 1, "Set batch size to one"
+        if self.params is not None:
+            # commit weights to device once — numpy leaves would be
+            # re-transferred on every dispatch
+            self.params = jax.device_put(self.params)
         for name in self.techniques:
             for store in (self.kappas, self.densities, self.iterations,
                           self.setups, self.durations, self.totals,
@@ -156,21 +161,28 @@ class BenchmarkSuite:
         return a_sp, a_full, rhs, n0
 
     # -- preconditioner constructors -------------------------------------
-    def _setup_vanilla(self, a_sp, batch, ell, need_dense):
+    def _setup_vanilla(self, a_sp, batch, ell, need_dense,
+                       timing=False):
+        if timing:
+            return identity_apply, None, None, None
         return identity_apply, None, float(a_sp.shape[0]) / (
             a_sp.shape[0] ** 2
         ) * 100, sp.eye(a_sp.shape[0]).tocsr()
 
-    def _setup_jacobi(self, a_sp, batch, ell, need_dense):
+    def _setup_jacobi(self, a_sp, batch, ell, need_dense,
+                      timing=False):
         d = np.zeros(ell.n_pad)
         n0 = a_sp.shape[0]
         d[:n0] = jacobi_preconditioner(a_sp)
         d[n0:] = 0.0
+        if timing:
+            return _diag_apply, jnp.asarray(d, self.dtype), None, None
         dens = 100.0 * n0 / (n0 * n0)
         m_sp = sp.diags(d[:n0]).tocsr()
         return _diag_apply, jnp.asarray(d, self.dtype), dens, m_sp
 
-    def _setup_incomplete_cholesky(self, a_sp, batch, ell, need_dense):
+    def _setup_incomplete_cholesky(self, a_sp, batch, ell,
+                                   need_dense, timing=False):
         l = ic0_factor(a_sp)
         lower = build_tri_schedule(l, n_pad=ell.n_pad)
         upper = transpose_schedule(l, n_pad=ell.n_pad)
@@ -180,6 +192,8 @@ class BenchmarkSuite:
         upper = jax.tree.map(
             lambda x: x.astype(self.dtype)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, upper)
+        if timing:
+            return _tri_apply, (lower, upper), None, None
         n0 = a_sp.shape[0]
         dens = 100.0 * l.nnz / (n0 * n0)
         if need_dense:  # M = L^-T L^-1 materialized for kappa only
@@ -191,15 +205,23 @@ class BenchmarkSuite:
             m_sp = None
         return _tri_apply, (lower, upper), dens, m_sp
 
-    def _setup_learned(self, a_sp, batch, ell, need_dense):
+    def _setup_learned(self, a_sp, batch, ell, need_dense,
+                       timing=False):
         n0 = a_sp.shape[0]
-        m = _learned_setup_device(
+        # hoist the per-case scalar to one transfer (repeated np scalar
+        # creation is a fresh H2D round trip per call on a tunneled chip)
+        if getattr(self, "_n0_cache", None) != n0:
+            self._n0_dev = jnp.int32(n0)
+            self._n0_cache = n0
+        m, nnz = _learned_setup_device(
             self.model, self.params, batch.features, batch.plans,
-            batch.scales, jnp.int32(n0),
+            batch.scales, self._n0_dev, dtype=self.dtype,
         )
         assert m.shape[0] == ell.n_pad, (
             "suite expects dataset-global padding == solver padding"
         )
+        if timing:
+            return dense_matvec, m, None, None
         if need_dense:
             m_np = np.asarray(m, np.float64)
             m_sp = sp.csr_matrix(m_np[:n0, :n0])
@@ -208,8 +230,8 @@ class BenchmarkSuite:
             m_sp = None
             # device scalar — caller converts after the timed region so
             # setup timing carries no extra host sync
-            dens = jnp.count_nonzero(m) * 100.0 / (n0 * n0)
-        return dense_matvec, m.astype(self.dtype), dens, m_sp
+            dens = nnz * 100.0 / (n0 * n0)
+        return dense_matvec, m, dens, m_sp
 
     # -- measurement ------------------------------------------------------
     def _solve(self, ell, b_dev, apply_m, m_data):
@@ -256,12 +278,16 @@ class BenchmarkSuite:
                 setup_fn = getattr(self, f"_setup_{name}")
                 start = time.perf_counter()
                 for _ in range(self.timing_reps):
-                    apply_m, m_data, density, m_sp = setup_fn(
-                        a_sp, batch, ell, need_dense
+                    apply_m, m_data, _, _ = setup_fn(
+                        a_sp, batch, ell, need_dense, timing=True
                     )
                 jax.block_until_ready(m_data)
                 setup = ((time.perf_counter() - start) /
                          self.timing_reps if name != "vanilla" else 0.0)
+                # statistics pass, outside the timed region
+                apply_m, m_data, density, m_sp = setup_fn(
+                    a_sp, batch, ell, need_dense
+                )
                 density = float(density)
 
                 # warm-up (compile+transfer) then amortized timed runs

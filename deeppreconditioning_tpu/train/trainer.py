@@ -72,24 +72,62 @@ class EarlyStopping:
         return self.counter >= self.patience
 
 
-def _loss_from_batch(model, params, batch: DeviceBatch) -> jax.Array:
+def _make_l_coo(values: jax.Array, final_plan, n: int):
+    """Batched model output -> BatchedCOO of L (for the sparse losses)."""
+    from deeppreconditioning_tpu.sparse.coo import BatchedCOO
+
+    bsz, nnz = values.shape
+    batch_idx = jnp.broadcast_to(
+        jnp.arange(bsz)[:, None], (bsz, nnz)
+    )
+    indices = jnp.stack(
+        [batch_idx, final_plan.rows, final_plan.cols], axis=-1
+    ).reshape(bsz * nnz, 3)
+    valid = final_plan.valid.reshape(bsz * nnz)
+    return BatchedCOO(
+        indices=indices,
+        values=values.reshape(bsz * nnz),
+        valid=valid,
+        batch_size=bsz,
+        spatial_shape=(n, n),
+    )
+
+
+def _loss_from_batch(model, params, batch: DeviceBatch,
+                     loss: str = "inverse_loss",
+                     step: jax.Array | int = 0) -> jax.Array:
+    """Training objective by name (the reference's four candidates,
+    metrics.py:13-100; training uses inverse_loss, train.py:59)."""
     values = batched_apply(model, params, batch.features, batch.plans)
     n = batch.solutions.shape[1]
+    if loss == "frobenius_loss":
+        l_coo = _make_l_coo(values, batch.plans[-1], n)
+        return metrics_lib.frobenius_loss(
+            l_coo, batch.solutions, batch.right_hand_sides
+        )
     l_dense = output_to_dense(values, batch.plans[-1], n)
     a_tril = batch.systems.to_dense()
-    return metrics_lib.inverse_loss(a_tril, l_dense)
+    if loss == "inverse_loss":
+        return metrics_lib.inverse_loss(a_tril, l_dense)
+    if loss == "hutchinson_trace":
+        key = jax.random.PRNGKey(0)
+        key = jax.random.fold_in(key, jnp.asarray(step, jnp.int32))
+        return metrics_lib.hutchinson_trace(key, a_tril, l_dense)
+    if loss == "condition_loss":
+        return metrics_lib.condition_loss(a_tril, l_dense)
+    raise ValueError(f"unknown loss {loss}")
 
 
-@partial(jax.jit, static_argnames=("model", "tx"))
+@partial(jax.jit, static_argnames=("model", "tx", "loss"))
 def train_step(model: PreconditionerNet, tx, state: TrainState,
-               batch: DeviceBatch):
-    """One optimization step (forward, inverse_loss, grad, Adam update)."""
-    loss, grads = jax.value_and_grad(
-        lambda p: _loss_from_batch(model, p, batch)
+               batch: DeviceBatch, loss: str = "inverse_loss"):
+    """One optimization step (forward, loss, grad, Adam update)."""
+    loss_val, grads = jax.value_and_grad(
+        lambda p: _loss_from_batch(model, p, batch, loss, state.step)
     )(state.params)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
-    return TrainState(params, opt_state, state.step + 1), loss
+    return TrainState(params, opt_state, state.step + 1), loss_val
 
 
 @partial(jax.jit, static_argnames=("model", "max_iter"))
@@ -186,6 +224,7 @@ def train(
     metrics_dir: Path | str = Path("assets/metrics"),
     seed: int = 69,
     log_every: bool = True,
+    loss: str = "inverse_loss",
 ) -> TrainState:
     """Full training loop (train.py:139-190 semantics; seed 69 parity).
 
@@ -209,8 +248,9 @@ def train(
     for epoch in range(max_epochs):
         epoch_losses = []
         for i in range(len(train_set)):
-            state, loss = train_step(model, tx, state, train_set[i])
-            epoch_losses.append(float(loss))
+            state, loss_val = train_step(model, tx, state, train_set[i],
+                                         loss)
+            epoch_losses.append(float(loss_val))
         train_loss = float(np.mean(epoch_losses))
 
         val_loss, val_iters, val_duration = validate(

@@ -1,0 +1,132 @@
+"""Mesh-generalization study (reference scripts/compare_meshes.py parity).
+
+Re-generates FVM cases at mesh resolutions the model never saw
+(mesh_cells in [2..6], reference compare_meshes.py:23-36 regenerates via
+OpenFOAM), measures the condition number before vs after learned
+preconditioning (kappa-pre via np.linalg.cond, kappa-post via the
+condition-number metric, compare_meshes.py:60-66), and writes
+``compare_meshes.csv``.
+
+The model is fully convolutional over sparsity patterns, so it applies
+unchanged to any matrix size — each resolution gets its own index plan.
+
+Usage: python scripts/compare_meshes.py [--cases-per-resolution N]
+"""
+
+import argparse
+import csv
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+from deeppreconditioning_tpu.config import (  # noqa: E402
+    get_model_class,
+    params_show,
+)
+from deeppreconditioning_tpu.data.fvm import generate_sludge_case  # noqa: E402
+from deeppreconditioning_tpu.models import plan_builder_for  # noqa: E402
+from deeppreconditioning_tpu.train.trainer import load_checkpoint  # noqa: E402
+
+
+def _kappa_for_case(case, model, params, builder):
+    """kappa(A) and kappa(M~ A~) for one case (host f64 + device fwd)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeppreconditioning_tpu.metrics import scatter_tril_dense
+
+    a = case.matrix.tocsr()
+    n = a.shape[0]
+    kappa_pre = float(np.linalg.cond(a.toarray()))
+
+    # Jacobi-scale + tril + sort, mirroring the dataset transform
+    coo = a.tocoo()
+    keep = coo.row >= coo.col
+    rows, cols, vals = coo.row[keep], coo.col[keep], coo.data[keep]
+    diag = a.diagonal()
+    d_isqrt = 1.0 / np.sqrt(diag)
+    vals = vals * d_isqrt[rows] * d_isqrt[cols]
+    order = np.argsort(rows.astype(np.int64) * n + cols)
+    rows = rows[order].astype(np.int32)
+    cols = cols[order].astype(np.int32)
+    vals = vals[order]
+
+    if hasattr(builder, "build"):
+        plan_host = builder.build(rows, cols, (n, n))
+    else:
+        from deeppreconditioning_tpu.ops.sparse_conv import (
+            build_sample_plan,
+        )
+
+        plan_host = build_sample_plan(rows, cols, (n, n), builder)
+    from deeppreconditioning_tpu.ops.sparse_conv import (
+        pad_sample_plans,
+    )
+
+    nnz0_pad = ((rows.shape[0] + 255) // 256) * 256
+    [plan_layers] = pad_sample_plans([plan_host], [nnz0_pad])
+    feats = np.zeros((nnz0_pad, 1), np.float32)
+    feats[: rows.shape[0], 0] = vals
+
+    out_vals = model.apply(params, jnp.asarray(feats), plan_layers)
+    final = plan_layers[-1]
+    l_dense = np.asarray(
+        scatter_tril_dense(
+            out_vals[None], final.rows[None], final.cols[None],
+            final.valid[None], n,
+        )
+    )[0].astype(np.float64)
+
+    a_tilde = (a.toarray() * np.outer(d_isqrt, d_isqrt))
+    m = l_dense @ l_dense.T
+    kappa_post = float(np.linalg.cond(m @ a_tilde))
+    return kappa_pre, kappa_post
+
+
+def main() -> None:
+    params = params_show()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cases-per-resolution", type=int, default=3)
+    parser.add_argument("--out", type=Path,
+                        default=Path(params.results_dir)
+                        / "compare_meshes.csv")
+    args = parser.parse_args()
+
+    model = get_model_class(params.model)(
+        channels=tuple(params.channels)
+    )
+    builder = plan_builder_for(params.model, params.channels)
+    payload = load_checkpoint(
+        Path(params.checkpoint_dir) / "best.msgpack"
+    )
+
+    rng = np.random.default_rng(69)  # compare_meshes.py:20 seed parity
+    rows_out = []
+    for mesh_cells in range(2, 7):  # compare_meshes.py resolutions 2..6
+        for _ in range(args.cases_per_resolution):
+            case = generate_sludge_case(rng, mesh_cells=mesh_cells)
+            pre, post = _kappa_for_case(
+                case, model, payload["params"], builder
+            )
+            rows_out.append({
+                "mesh_cells": mesh_cells,
+                "dof": case.matrix.shape[0],
+                "kappa_pre": pre,
+                "kappa_post": post,
+            })
+            print(f"mesh_cells={mesh_cells} dof={case.matrix.shape[0]} "
+                  f"kappa {pre:.4g} -> {post:.4g}")
+
+    args.out.parent.mkdir(parents=True, exist_ok=True)
+    with args.out.open("w") as fio:
+        writer = csv.DictWriter(fio, fieldnames=list(rows_out[0]))
+        writer.writeheader()
+        writer.writerows(rows_out)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
