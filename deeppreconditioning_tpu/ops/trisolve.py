@@ -192,3 +192,94 @@ def ic_apply(lower: TriSchedule, upper_flipped: TriSchedule,
     """z = L^-T (L^-1 r) — the factored-preconditioner apply."""
     y = tri_solve_lower(lower, r)
     return tri_solve_upper_from_flipped(upper_flipped, y)
+
+
+# ---------------------------------------------------------------------------
+# Neumann / Jacobi-sweep triangular apply — the latency-free alternative.
+#
+# Level scheduling is exact but pays one sequential wave per level; on
+# latency-sensitive paths (small systems, or distributed sweeps across
+# shards) a fixed number of Jacobi sweeps on the triangular system is
+# preferable: y_{k+1} = D^-1 (r - (L - D) y_k).  For lower-triangular L
+# this is a *finite* iteration — it converges exactly in n_levels sweeps
+# — and truncating at K < n_levels yields the order-K Neumann-series
+# approximation of L^-1.  Every sweep is one SpMV: fixed trip count, no
+# data-dependent control flow, MXU/VPU-friendly (SURVEY.md §2.4 item 4's
+# "block-Jacobi sweeps" strategy).
+
+@struct.dataclass
+class TriNeumann:
+    """Strictly-lower part + inverse diagonal of L in ELL form."""
+
+    cols: jax.Array  # (n_pad, k) strictly-lower column indices
+    vals: jax.Array  # (n_pad, k)
+    inv_diag: jax.Array  # (n_pad,)
+    sweeps: int = struct.field(pytree_node=False)
+    n: int = struct.field(pytree_node=False)
+
+
+def build_tri_neumann(l_factor: sp.spmatrix, sweeps: int,
+                      n_pad: int | None = None) -> TriNeumann:
+    """Prepare the Neumann apply operator for a lower-tri factor."""
+    csr = sp.tril(l_factor.tocsr(), format="csr")
+    n = csr.shape[0]
+    if n_pad is None:
+        n_pad = ((n + 7) // 8) * 8
+    diag = csr.diagonal()
+    strict = sp.tril(csr, k=-1).tocsr()
+    row_nnz = np.diff(strict.indptr)
+    k = max(int(row_nnz.max()) if n else 0, 1)
+    cols = np.full((n_pad, k), n_pad, np.int32)
+    vals = np.zeros((n_pad, k), np.float64)
+    for i in range(n):
+        lo, hi = strict.indptr[i], strict.indptr[i + 1]
+        cols[i, : hi - lo] = strict.indices[lo:hi]
+        vals[i, : hi - lo] = strict.data[lo:hi]
+    inv_diag = np.zeros(n_pad)
+    inv_diag[:n] = 1.0 / diag
+    return TriNeumann(
+        cols=jnp.asarray(cols),
+        vals=jnp.asarray(vals),
+        inv_diag=jnp.asarray(inv_diag),
+        sweeps=sweeps,
+        n=n,
+    )
+
+
+def _strict_lower_matvec(op: TriNeumann, y: jax.Array) -> jax.Array:
+    y_ext = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
+    return jnp.sum(op.vals.astype(y.dtype) * y_ext[op.cols], axis=1)
+
+
+def neumann_lower_solve(op: TriNeumann, r: jax.Array) -> jax.Array:
+    """y ~ L^-1 r via `sweeps` Jacobi sweeps (exact once sweeps >=
+    number of dependency levels)."""
+    inv_d = op.inv_diag.astype(r.dtype)
+    y = inv_d * r
+
+    def sweep(_, y):
+        return inv_d * (r - _strict_lower_matvec(op, y))
+
+    return jax.lax.fori_loop(0, op.sweeps, sweep, y)
+
+
+def neumann_ic_apply(op: TriNeumann, r: jax.Array) -> jax.Array:
+    """z = G^T (G r) with G ~ L^-1 (SPD by construction, so PCG-safe
+    even when truncated)."""
+    y = neumann_lower_solve(op, r)
+    # transpose solve: y ~ L^-T via sweeps with the transposed operator
+    # (gather-based transpose matvec: scatter-add of vals at cols)
+    inv_d = op.inv_diag.astype(r.dtype)
+
+    def strict_upper_matvec(y):
+        contrib = op.vals.astype(y.dtype) * y[:, None]
+        out = jnp.zeros((y.shape[0] + 1,), y.dtype)
+        out = out.at[op.cols].add(contrib)
+        return out[:-1]
+
+    z = inv_d * y
+
+    def sweep(_, z):
+        return inv_d * (y - strict_upper_matvec(z))
+
+    return jax.lax.fori_loop(0, op.sweeps, sweep, z)
