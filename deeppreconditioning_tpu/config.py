@@ -28,6 +28,8 @@ DEFAULT_PARAMS = {
     "learning_rate": 0.001,
     "patience": 16,
     # rebuild-specific knobs
+    "loss": "inverse_loss",
+    "schedule": "constant",
     "seed": 69,
     "data_root": "assets/data/raw",
     "checkpoint_dir": "assets/checkpoints",
@@ -48,6 +50,8 @@ class Params:
     batch_size: int
     learning_rate: float
     patience: int
+    loss: str
+    schedule: str
     seed: int
     data_root: str
     checkpoint_dir: str

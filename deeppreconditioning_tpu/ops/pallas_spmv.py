@@ -31,23 +31,42 @@ from deeppreconditioning_tpu.sparse.dia import DIAMatrix
 
 def _dia_kernel(x_hbm, vals_ref, y_ref, x_scratch, sem, *, offsets,
                 tile, halo_pad):
-    """One row tile: DMA x[tile - halo .. tile + halo] then FMA diagonals.
+    """One row tile: FMA the diagonals against a double-buffered x tile.
 
     x_hbm is the halo-padded vector in ANY/HBM; vals_ref is the (n_diag,
-    tile) VMEM block for this tile; y_ref the (tile,) output block.
+    tile) VMEM block for this tile (auto-pipelined by the BlockSpec
+    grid); y_ref the (tile,) output block.  The x halo window
+    [i*tile, i*tile + tile + 2*halo) is DMA'd manually with two slots so
+    tile i+1's fetch overlaps tile i's compute.
     """
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile, tile + 2 * halo_pad)],
-        x_scratch,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    n = pl.num_programs(0)
+    span = tile + 2 * halo_pad
+    slot = jax.lax.rem(i, jnp.int32(2))
+    nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+    @pl.when(i == 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(0, span)], x_scratch.at[0], sem.at[0]
+        ).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds((i + 1) * tile, span)],
+            x_scratch.at[nxt],
+            sem.at[nxt],
+        ).start()
+
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * tile, span)], x_scratch.at[slot], sem.at[slot]
+    ).wait()
+
     acc = jnp.zeros((tile,), y_ref.dtype)
     for d, off in enumerate(offsets):
         acc = acc + vals_ref[d, :] * x_scratch[
-            pl.ds(halo_pad + off, tile)
+            slot, pl.ds(halo_pad + off, tile)
         ]
     y_ref[:] = acc
 
@@ -91,8 +110,8 @@ def dia_matvec_pallas(a: DIAMatrix, x: jax.Array,
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * halo_pad,), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile + 2 * halo_pad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(x_ext, a.vals)
 

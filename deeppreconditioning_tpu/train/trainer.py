@@ -225,14 +225,32 @@ def train(
     seed: int = 69,
     log_every: bool = True,
     loss: str = "inverse_loss",
+    schedule: str = "constant",
+    warmup_epochs: int = 5,
 ) -> TrainState:
     """Full training loop (train.py:139-190 semantics; seed 69 parity).
 
     The reference runs ``while True`` with early stopping only
-    (train.py:171); ``max_epochs`` adds a configurable bound.
+    (train.py:171) at a constant learning rate; ``max_epochs`` bounds the
+    loop and ``schedule`` optionally applies warmup+cosine decay (a
+    rebuild addition — the constant-LR plateau is what the reference's
+    early stopping fires on).
     """
     checkpoint_dir = Path(checkpoint_dir)
-    tx = optax.adam(learning_rate)
+    if schedule == "cosine":
+        steps_per_epoch = max(len(train_set), 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate / 10,
+            peak_value=learning_rate,
+            warmup_steps=warmup_epochs * steps_per_epoch,
+            decay_steps=max_epochs * steps_per_epoch,
+            end_value=learning_rate / 100,
+        )
+    elif schedule == "constant":
+        lr = learning_rate
+    else:
+        raise ValueError(f"unknown schedule {schedule}")
+    tx = optax.adam(lr)
 
     batch0 = train_set[0]
     sample_plans = [jax.tree.map(lambda x: x[0], p) for p in batch0.plans]

@@ -74,6 +74,8 @@ def main() -> None:
         checkpoint_dir=Path(params.checkpoint_dir),
         metrics_dir=Path(params.metrics_dir),
         seed=params.seed,
+        loss=params.loss,
+        schedule=params.schedule,
     )
     print(f"finished at step {int(state.step)}; checkpoints in "
           f"{params.checkpoint_dir}")
