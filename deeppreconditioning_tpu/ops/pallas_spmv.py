@@ -29,46 +29,55 @@ from jax.experimental.pallas import tpu as pltpu
 from deeppreconditioning_tpu.sparse.dia import DIAMatrix
 
 
-def _dia_kernel(x_hbm, vals_ref, y_ref, x_scratch, sem, *, offsets,
-                tile, halo_pad):
+def _dia_kernel(x_hbm, vals_ref, y_ref, scratch0, scratch1, sem, *,
+                offsets, tile, halo_pad):
     """One row tile: FMA the diagonals against a double-buffered x tile.
 
     x_hbm is the halo-padded vector in ANY/HBM; vals_ref is the (n_diag,
     tile) VMEM block for this tile (auto-pipelined by the BlockSpec
     grid); y_ref the (tile,) output block.  The x halo window
-    [i*tile, i*tile + tile + 2*halo) is DMA'd manually with two slots so
-    tile i+1's fetch overlaps tile i's compute.
+    [i*tile, i*tile + tile + 2*halo) is DMA'd manually; two scratch
+    buffers alternate so tile i+1's fetch overlaps tile i's compute.
+    (Two *separate* buffers, not a (2, span) array — Mosaic cannot slice
+    the sublane-tiled leading dim dynamically.)
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
     span = tile + 2 * halo_pad
-    slot = jax.lax.rem(i, jnp.int32(2))
-    nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+    even = jax.lax.rem(i, jnp.int32(2)) == 0
+
+    def dma(idx, buf, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(idx * tile, span)], buf, sem.at[s]
+        )
 
     @pl.when(i == 0)
     def _():
-        pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, span)], x_scratch.at[0], sem.at[0]
-        ).start()
+        dma(i, scratch0, 0).start()
 
-    @pl.when(i + 1 < n)
+    @pl.when(jnp.logical_and(i + 1 < n, even))
     def _():
-        pltpu.make_async_copy(
-            x_hbm.at[pl.ds((i + 1) * tile, span)],
-            x_scratch.at[nxt],
-            sem.at[nxt],
-        ).start()
+        dma(i + 1, scratch1, 1).start()
 
-    pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile, span)], x_scratch.at[slot], sem.at[slot]
-    ).wait()
+    @pl.when(jnp.logical_and(i + 1 < n, jnp.logical_not(even)))
+    def _():
+        dma(i + 1, scratch0, 0).start()
 
-    acc = jnp.zeros((tile,), y_ref.dtype)
-    for d, off in enumerate(offsets):
-        acc = acc + vals_ref[d, :] * x_scratch[
-            slot, pl.ds(halo_pad + off, tile)
-        ]
-    y_ref[:] = acc
+    def compute(buf):
+        acc = jnp.zeros((tile,), y_ref.dtype)
+        for d, off in enumerate(offsets):
+            acc = acc + vals_ref[d, :] * buf[pl.ds(halo_pad + off, tile)]
+        y_ref[:] = acc
+
+    @pl.when(even)
+    def _():
+        dma(i, scratch0, 0).wait()
+        compute(scratch0)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        dma(i, scratch1, 1).wait()
+        compute(scratch1)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -110,7 +119,8 @@ def dia_matvec_pallas(a: DIAMatrix, x: jax.Array,
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tile + 2 * halo_pad), x.dtype),
+            pltpu.VMEM((tile + 2 * halo_pad,), x.dtype),
+            pltpu.VMEM((tile + 2 * halo_pad,), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(x_ext, a.vals)
