@@ -49,9 +49,14 @@ def _spmv_throughput() -> dict:
     from deeppreconditioning_tpu.ops.pallas_spmv import dia_matvec
     from deeppreconditioning_tpu.sparse.dia import poisson_dia
 
+    from deeppreconditioning_tpu.ops.pallas_stencil import (
+        poisson3d_stencil_matvec,
+    )
+
     out = {}
     for label, shape in (("spmv_2d_512", (512, 512)),
-                         ("spmv_3d_128", (128, 128, 128))):
+                         ("spmv_3d_128", (128, 128, 128)),
+                         ("spmv_3d_256", (256, 256, 256))):
         a = poisson_dia(shape, dtype=jnp.float32)
         nnz = int(np.count_nonzero(np.asarray(a.vals)))
         x = jnp.asarray(
@@ -72,6 +77,20 @@ def _spmv_throughput() -> dict:
             "gnnz_per_s": round(nnz / dt / 1e9, 3),
             "us": round(dt * 1e6, 1),
         }
+        if len(shape) == 3:  # constant-coefficient stencil fast path
+            xs = x[: a.n_pad]
+            y = poisson3d_stencil_matvec(xs, shape)
+            y.block_until_ready()
+            start = time.perf_counter()
+            for _ in range(iters):
+                xs = poisson3d_stencil_matvec(xs, shape)
+            xs.block_until_ready()
+            dt = (time.perf_counter() - start) / iters
+            out[label + "_stencil"] = {
+                "gnnz_per_s": round(nnz / dt / 1e9, 3),
+                "us": round(dt * 1e6, 1),
+            }
+        del a, x
     return out
 
 
