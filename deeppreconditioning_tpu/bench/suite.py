@@ -40,7 +40,12 @@ from deeppreconditioning_tpu.models.precond_net import (
     batched_apply,
     output_to_dense,
 )
-from deeppreconditioning_tpu.ops.ic0 import ic0_factor, jacobi_preconditioner
+from deeppreconditioning_tpu.ops.amg import amg_apply, build_amg
+from deeppreconditioning_tpu.ops.ic0 import (
+    ic0_factor,
+    ict_factor,
+    jacobi_preconditioner,
+)
 from deeppreconditioning_tpu.ops.trisolve import (
     build_tri_schedule,
     ic_apply,
@@ -87,6 +92,10 @@ def _learned_setup_device(model, params, features, plans, scales, n0,
 
 def _tri_apply(md, r):
     return ic_apply(md[0], md[1], r)
+
+
+def _amg_apply(md, r):
+    return amg_apply(md, r)
 
 
 @dataclass
@@ -204,6 +213,54 @@ class BenchmarkSuite:
         else:
             m_sp = None
         return _tri_apply, (lower, upper), dens, m_sp
+
+    def _setup_incomplete_lu(self, a_sp, batch, ell, need_dense,
+                             timing=False):
+        """ILUT-analog baseline (test.py:90-93): for SPD input the ILU
+        factors coincide with the ICT pair (L, L^T), applied as two
+        triangular solves."""
+        l = ict_factor(a_sp, add_fill_in=1, threshold=0.1)
+        lower = build_tri_schedule(l, n_pad=ell.n_pad)
+        upper = transpose_schedule(l, n_pad=ell.n_pad)
+        lower = jax.tree.map(
+            lambda x: x.astype(self.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, lower)
+        upper = jax.tree.map(
+            lambda x: x.astype(self.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, upper)
+        if timing:
+            return _tri_apply, (lower, upper), None, None
+        n0 = a_sp.shape[0]
+        dens = 100.0 * l.nnz / (n0 * n0)
+        if need_dense:
+            linv = sp.linalg.spsolve_triangular(
+                l.tocsr(), np.eye(n0), lower=True
+            )
+            m_sp = sp.csr_matrix(linv.T @ linv)
+        else:
+            m_sp = None
+        return _tri_apply, (lower, upper), dens, m_sp
+
+    def _setup_algebraic_multigrid(self, a_sp, batch, ell, need_dense,
+                                   timing=False):
+        """Aggregation-AMG V-cycle (replaces the disabled pyamg baseline,
+        test.py:95-98) — ops/amg.py."""
+        m = build_amg(a_sp, n_pad=ell.n_pad, dtype=self.dtype)
+        if timing:
+            return _amg_apply, m, None, None
+        n0 = a_sp.shape[0]
+        nc = m.coarse_inv.shape[0]
+        dens = 100.0 * (a_sp.nnz + nc * nc) / (n0 * n0)
+        m_sp = None
+        if need_dense:
+            cols = []
+            eye = np.eye(ell.n_pad)
+            for j in range(n0):
+                z = np.asarray(amg_apply(m, jnp.asarray(
+                    eye[j], self.dtype)))
+                cols.append(z[:n0])
+            m_sp = sp.csr_matrix(np.column_stack(cols))
+        return _amg_apply, m, dens, m_sp
 
     def _setup_learned(self, a_sp, batch, ell, need_dense,
                        timing=False):

@@ -130,6 +130,35 @@ def conjugate_gradient(
     )
 
 
+def benchmark_cg(matrix, right_hand_side, preconditioner=None):
+    """scipy-CG benchmark wrapper — behavioral port of the reference
+    ``benchmark_cg`` (uibk/deep_preconditioning/utils.py:46-76): scipy
+    defaults, maxiter=512, iteration count via callback.
+
+    Returns (duration_seconds, iterations, info).
+    """
+    import time as _time
+
+    from scipy.sparse.linalg import cg as _scipy_cg
+
+    iterations = 0
+
+    def _callback(_):
+        nonlocal iterations
+        iterations += 1
+
+    start_time = _time.perf_counter()
+    _, info = _scipy_cg(
+        matrix,
+        right_hand_side,
+        maxiter=512,
+        M=preconditioner,
+        callback=_callback,
+    )
+    duration = _time.perf_counter() - start_time
+    return duration, iterations, info
+
+
 @partial(jax.jit, static_argnames=("matvec", "apply_m", "max_iter"))
 def pcg_with_history(
     matvec: Callable[[Any, jax.Array], jax.Array],
