@@ -27,6 +27,10 @@ def main() -> None:
     params = params_show()
     parser = argparse.ArgumentParser()
     parser.add_argument("--kappa-cases", type=int, default=5)
+    parser.add_argument(
+        "--techniques", default="vanilla,jacobi,incomplete_cholesky,learned",
+        help="comma list; 'all' = every technique incl. ILU + AMG",
+    )
     parser.add_argument("--checkpoint", type=Path, default=None)
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
@@ -49,10 +53,16 @@ def main() -> None:
     payload = load_checkpoint(ckpt_path)
     model_params = payload["params"]
 
+    if args.techniques == "all":
+        techniques = ("vanilla", "jacobi", "incomplete_cholesky",
+                      "incomplete_lu", "algebraic_multigrid", "learned")
+    else:
+        techniques = tuple(args.techniques.split(","))
     suite = BenchmarkSuite(
         data_set,
         model,
         model_params,
+        techniques=techniques,
         kappa_cases=args.kappa_cases,
         results_directory=Path(params.results_dir),
     )
