@@ -29,8 +29,6 @@ import functools
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
