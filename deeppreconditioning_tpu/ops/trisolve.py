@@ -95,39 +95,37 @@ def build_tri_schedule(l_factor: sp.spmatrix,
     if n_pad is None:
         n_pad = ((n + 7) // 8) * 8
     levels = compute_levels(csr)
-    n_levels = int(levels.max()) + 1 if n else 1
+    n_levels_true = int(levels.max()) + 1 if n else 1
 
     diag_all = csr.diagonal()
     assert (diag_all != 0).all(), "singular triangular factor"
 
-    by_level = [np.where(levels == lv)[0] for lv in range(n_levels)]
-    rows_pad = _round_up(max(len(b) for b in by_level), row_bucket)
-    n_levels = _round_up(n_levels, level_bucket)
-    by_level = by_level + [np.empty(0, np.int64)] * (
-        n_levels - len(by_level)
-    )
-    strict_counts = np.zeros(n, np.int64)
-    for i in range(n):
-        lo, hi = csr.indptr[i], csr.indptr[i + 1]
-        strict_counts[i] = np.sum(csr.indices[lo:hi] < i)
-    k = max(int(strict_counts.max()), 1)
+    level_sizes = np.bincount(levels, minlength=n_levels_true)
+    rows_pad = _round_up(int(level_sizes.max()), row_bucket)
+    n_levels = _round_up(n_levels_true, level_bucket)
+
+    # vectorized packing: sort rows by (level, row); slot = rank in level
+    order = np.lexsort((np.arange(n), levels))
+    level_of = levels[order]
+    starts = np.zeros(n_levels_true + 1, np.int64)
+    np.cumsum(level_sizes, out=starts[1:])
+    slot_of = np.arange(n) - starts[level_of]
+
+    strict = sp.tril(csr, k=-1).tocsr()
+    from deeppreconditioning_tpu.sparse.ell import csr_to_ell_arrays
+
+    ecols, evals = csr_to_ell_arrays(strict, n, sentinel=n_pad)
+    k = ecols.shape[1]
 
     rows = np.full((n_levels, rows_pad), n_pad, np.int32)
     cols = np.full((n_levels, rows_pad, k), n_pad, np.int32)
     vals = np.zeros((n_levels, rows_pad, k), np.float64)
     diag = np.ones((n_levels, rows_pad), np.float64)
 
-    for lv, members in enumerate(by_level):
-        for slot, i in enumerate(members):
-            rows[lv, slot] = i
-            diag[lv, slot] = diag_all[i]
-            lo, hi = csr.indptr[i], csr.indptr[i + 1]
-            ci = csr.indices[lo:hi]
-            vi = csr.data[lo:hi]
-            strict = ci < i
-            nstrict = int(strict.sum())
-            cols[lv, slot, :nstrict] = ci[strict]
-            vals[lv, slot, :nstrict] = vi[strict]
+    rows[level_of, slot_of] = order
+    diag[level_of, slot_of] = diag_all[order]
+    cols[level_of, slot_of] = ecols[order]
+    vals[level_of, slot_of] = evals[order]
 
     return TriSchedule(
         rows=jnp.asarray(rows),
@@ -227,14 +225,9 @@ def build_tri_neumann(l_factor: sp.spmatrix, sweeps: int,
         n_pad = ((n + 7) // 8) * 8
     diag = csr.diagonal()
     strict = sp.tril(csr, k=-1).tocsr()
-    row_nnz = np.diff(strict.indptr)
-    k = max(int(row_nnz.max()) if n else 0, 1)
-    cols = np.full((n_pad, k), n_pad, np.int32)
-    vals = np.zeros((n_pad, k), np.float64)
-    for i in range(n):
-        lo, hi = strict.indptr[i], strict.indptr[i + 1]
-        cols[i, : hi - lo] = strict.indices[lo:hi]
-        vals[i, : hi - lo] = strict.data[lo:hi]
+    from deeppreconditioning_tpu.sparse.ell import csr_to_ell_arrays
+
+    cols, vals = csr_to_ell_arrays(strict, n_pad, sentinel=n_pad)
     inv_diag = np.zeros(n_pad)
     inv_diag[:n] = 1.0 / diag
     return TriNeumann(

@@ -19,6 +19,31 @@ import numpy as np
 from flax import struct
 
 
+def csr_to_ell_arrays(csr, n_pad: int, k: int | None = None,
+                      sentinel: int | None = None):
+    """Vectorized CSR -> padded ELL (cols, vals) host arrays.
+
+    Empty slots get column `sentinel` (default n_pad) and value 0.
+    """
+    n = csr.shape[0]
+    if sentinel is None:
+        sentinel = n_pad
+    counts = np.diff(csr.indptr)
+    kmax = int(counts.max()) if n and csr.nnz else 0
+    if k is None:
+        k = max(kmax, 1)
+    else:
+        assert k >= kmax, f"k={k} < max row nnz {kmax}"
+    cols = np.full((n_pad, k), sentinel, np.int32)
+    vals = np.zeros((n_pad, k), np.float64)
+    if csr.nnz:
+        row_of = np.repeat(np.arange(n), counts)
+        slot = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], counts)
+        cols[row_of, slot] = csr.indices
+        vals[row_of, slot] = csr.data
+    return cols, vals
+
+
 @struct.dataclass
 class ELLMatrix:
     """Square sparse matrix in padded ELLPACK format.
@@ -74,21 +99,10 @@ class ELLMatrix:
 
         csr = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
         csr.sum_duplicates()
-        row_nnz = np.diff(csr.indptr)
-        kmax = int(row_nnz.max()) if n else 1
-        if k is None:
-            k = max(kmax, 1)
-        else:
-            assert k >= kmax, f"k={k} < max row nnz {kmax}"
         if n_pad is None:
             n_pad = ((n + 7) // 8) * 8
         assert n_pad >= n
-        ell_cols = np.full((n_pad, k), n_pad, np.int32)
-        ell_vals = np.zeros((n_pad, k), np.float64)
-        for i in range(n):
-            lo, hi = csr.indptr[i], csr.indptr[i + 1]
-            ell_cols[i, : hi - lo] = csr.indices[lo:hi]
-            ell_vals[i, : hi - lo] = csr.data[lo:hi]
+        ell_cols, ell_vals = csr_to_ell_arrays(csr, n_pad, k)
         return ELLMatrix(
             cols=jnp.asarray(ell_cols),
             vals=jnp.asarray(ell_vals, dtype=dtype),
