@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
@@ -46,6 +47,71 @@ def poisson3d_stencil_matvec(x: jax.Array, shape) -> jax.Array:
     )
     out = jnp.zeros_like(x)
     return out.at[:n].set(y.reshape(-1))
+
+
+from flax import struct  # noqa: E402
+
+
+@struct.dataclass
+class StencilOperator3D:
+    """Zero-copy 7-point Poisson operator on ghost-padded vectors.
+
+    ``poisson3d_stencil_matvec`` pays two full copies per call (jnp.pad
+    in, scatter out).  For solver hot loops, keep every CG vector in the
+    padded (nz+2, ny+2, nx+2) layout instead: ghost entries are zero and
+    *stay* zero through all linear CG updates (the matvec writes only
+    the interior), so the matvec is pure shifted slices — the true
+    streaming-bound formulation.
+
+    A static-only pytree: usable directly as the ``a_data`` operand of
+    solvers.cg.  Use ``embed``/``extract`` at the solve boundaries.
+    """
+
+    shape: tuple = struct.field(pytree_node=False)
+
+    @property
+    def padded_shape(self):
+        nz, ny, nx = self.shape
+        return (nz + 2, ny + 2, nx + 2)
+
+    @property
+    def size(self) -> int:
+        return int(np.prod(self.padded_shape))
+
+    def embed(self, x: jax.Array) -> jax.Array:
+        """Flat interior vector -> flat padded vector."""
+        nz, ny, nx = self.shape
+        g = x[: nz * ny * nx].reshape(nz, ny, nx)
+        return jnp.pad(g, 1).reshape(-1)
+
+    def extract(self, xp: jax.Array) -> jax.Array:
+        nz, ny, nx = self.shape
+        return xp.reshape(self.padded_shape)[
+            1:nz + 1, 1:ny + 1, 1:nx + 1
+        ].reshape(-1)
+
+    def matvec(self, xp: jax.Array) -> jax.Array:
+        """y_padded = A x_padded (ghost entries of the result are 0)."""
+        nz, ny, nx = self.shape
+        p = xp.reshape(self.padded_shape)
+        c = p[1:nz + 1, 1:ny + 1, 1:nx + 1]
+        y = (
+            6.0 * c
+            - p[0:nz, 1:ny + 1, 1:nx + 1]
+            - p[2:nz + 2, 1:ny + 1, 1:nx + 1]
+            - p[1:nz + 1, 0:ny, 1:nx + 1]
+            - p[1:nz + 1, 2:ny + 2, 1:nx + 1]
+            - p[1:nz + 1, 1:ny + 1, 0:nx]
+            - p[1:nz + 1, 1:ny + 1, 2:nx + 2]
+        )
+        out = jnp.zeros_like(p)
+        return out.at[1:nz + 1, 1:ny + 1, 1:nx + 1].set(y).reshape(-1)
+
+
+def stencil_matvec_padded(op: StencilOperator3D, xp: jax.Array
+                          ) -> jax.Array:
+    """Solver-compatible matvec(a_data, x) binding for solvers.cg."""
+    return op.matvec(xp)
 
 
 def poisson2d_stencil_matvec(x: jax.Array, shape) -> jax.Array:

@@ -41,3 +41,31 @@ def test_stencil_2d_matches_dia():
     y = np.asarray(poisson2d_stencil_matvec(x, shape))
     np.testing.assert_allclose(y, np.asarray(a.matvec(x)), rtol=1e-12,
                                atol=1e-14)
+
+
+def test_padded_operator_cg():
+    """CG on the zero-copy padded operator solves the Poisson system."""
+    import jax
+    from deeppreconditioning_tpu.ops.pallas_stencil import (
+        StencilOperator3D,
+        stencil_matvec_padded,
+    )
+    from deeppreconditioning_tpu.solvers.cg import conjugate_gradient
+
+    shape = (8, 8, 8)
+    n = int(np.prod(shape))
+    op = StencilOperator3D(shape=shape)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+    bp = op.embed(jnp.asarray(b))
+    res = conjugate_gradient(stencil_matvec_padded, op, bp,
+                             max_iter=512)
+    x = np.asarray(op.extract(res.x))
+    a = poisson_dia(shape, dtype=jnp.float64, n_pad=n)
+    resid = np.linalg.norm(
+        np.asarray(a.matvec(jnp.asarray(x))) - b
+    ) / np.linalg.norm(b)
+    assert resid < 1e-4
+    # ghost entries stayed zero
+    g = np.asarray(res.x).reshape(op.padded_shape)
+    assert np.all(g[0] == 0) and np.all(g[:, 0] == 0)
