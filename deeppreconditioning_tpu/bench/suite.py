@@ -406,6 +406,29 @@ class BenchmarkSuite:
             }
         return out
 
+    def plot_histograms(self):
+        """Box-plot generator for durations/iterations
+        (test.py:157-173 parity; the reference defines but never calls
+        it — callers may save the yielded figures)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        for parameter, label in zip(
+            ["durations", "iterations"],
+            ["Durations [ms]", "Iterations [-]"],
+        ):
+            figure, ax = plt.subplots()
+            ax.set_ylabel(label)
+            ax.boxplot(
+                [getattr(self, parameter)[name]
+                 for name in self.techniques],
+                notch=True,
+                tick_labels=self.techniques,
+            )
+            yield parameter, figure
+
     def dump_csv(self) -> None:
         """table.csv + totals.csv in the reference's schema
         (test.py:175-198)."""

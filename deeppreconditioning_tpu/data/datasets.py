@@ -13,10 +13,10 @@ TPU re-architecture of the reference's three Dataset classes
     once at construction.
 
 TPU-specific additions:
-  * per-sample scalar normalization A = scale * A_tilde with
-    max diag(A_tilde) = 1.  PCG is exactly invariant under scalar scaling
-    of the preconditioner, so learning on A_tilde loses nothing and keeps
-    CNN activations O(1) (FVM matrices carry a dt/rho ~ 1e-6 factor).
+  * symmetric Jacobi normalization A~ = D^-1/2 A D^-1/2 (unit diagonal);
+    preconditioning A~ with M~ equals preconditioning A with
+    D^-1/2 M~ D^-1/2, so the scaling becomes part of the learned
+    technique while CNN activations stay O(1).
   * each batch carries the *conv index plans* for the model
     (ops/sparse_conv.py) — sparsity patterns are static per sample, so the
     plans are built host-side once and cached, instead of being recomputed
@@ -38,6 +38,7 @@ import numpy as np
 
 from deeppreconditioning_tpu.ops.sparse_conv import (
     ConvSpec,
+    LayerPlan,
     build_sample_plan,
     pad_plans_by_level,
     stack_plans,
@@ -332,6 +333,19 @@ class RandomSPDDataSet(PlannedDataSet):
         if shuffle:
             random.Random(seed).shuffle(self._raw)
         self._finalize(dof)
+
+
+def download_from_kaggle() -> None:
+    """StAn dataset download (data_set.py:133-138 parity).
+
+    This environment has no network egress; mirror
+    kaggle.com/datasets/zurutech/stand-small-problems manually into
+    ``ROOT / "stand_small_{train,test}"``.
+    """
+    raise RuntimeError(
+        "no network egress in this environment; place the Kaggle StAn "
+        "npz files under ROOT/stand_small_{train,test} manually"
+    )
 
 
 class StAnDataSet(PlannedDataSet):
