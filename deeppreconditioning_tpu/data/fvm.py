@@ -89,7 +89,17 @@ def assemble_pressure_poisson(
         (A_coo, diag_extra) where A is SPD sparse and diag_extra is the
         Dirichlet diagonal contribution vector (for rhs construction).
     """
+    from deeppreconditioning_tpu import native
+
     n = ny * nx
+    if native.available():
+        rows_n, cols_n, vals_n, diag_extra = native.fvm_assemble(
+            ny, nx, rho, dx, dy, DT, dirichlet_top
+        )
+        a = sp.coo_matrix((vals_n, (rows_n, cols_n)), shape=(n, n))
+        a.sum_duplicates()
+        return a.tocoo(), diag_extra
+
     idx = np.arange(n).reshape(ny, nx)
     rau = DT / rho  # cell-centred 1/(a_P rho): the rAU field
 

@@ -60,6 +60,11 @@ def _configure(lib) -> None:
     ]
     lib.dptpu_levels.restype = None
     lib.dptpu_levels.argtypes = [i64, p_i64, p_i32, p_i32]
+    lib.dptpu_fvm_assemble.restype = i64
+    lib.dptpu_fvm_assemble.argtypes = [
+        i32, i32, p_f64, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, i32, p_i32, p_i32, p_f64, p_f64,
+    ]
 
 
 def available() -> bool:
@@ -148,3 +153,23 @@ def levels(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
         out,
     )
     return out
+
+
+def fvm_assemble(ny: int, nx: int, rho: np.ndarray, dx: float,
+                 dy: float, dt: float, dirichlet_top: bool):
+    """Native FVM pressure-Poisson assembly; returns COO triplets +
+    Dirichlet diagonal contribution (contract of
+    data.fvm.assemble_pressure_poisson)."""
+    lib = require()
+    n = ny * nx
+    cap = 5 * n
+    rows = np.empty(cap, np.int32)
+    cols = np.empty(cap, np.int32)
+    vals = np.empty(cap, np.float64)
+    diag_extra = np.empty(n, np.float64)
+    nnz = lib.dptpu_fvm_assemble(
+        ny, nx, np.ascontiguousarray(rho, np.float64).ravel(),
+        dx, dy, dt, int(dirichlet_top), rows, cols, vals, diag_extra,
+    )
+    return (rows[:nnz].copy(), cols[:nnz].copy(), vals[:nnz].copy(),
+            diag_extra)

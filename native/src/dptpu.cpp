@@ -279,4 +279,66 @@ void dptpu_levels(int64_t n, const int64_t* indptr, const int32_t* indices,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// FVM pressure-Poisson assembly — native port of the Python assembler
+// (deeppreconditioning_tpu/data/fvm.py assemble_pressure_poisson), which
+// itself mirrors OpenFOAM's fvm::laplacian assembly (reference
+// foam/newInterFoam/pEqn.H:43-96).  2-D structured grid, harmonic face
+// interpolation of rau = dt / rho, Dirichlet top boundary folded into the
+// diagonal.  Emits COO triplets (capacity >= 5 * n); returns nnz.
+int64_t dptpu_fvm_assemble(int32_t ny, int32_t nx, const double* rho,
+                           double dx, double dy, double dt,
+                           int32_t dirichlet_top, int32_t* rows,
+                           int32_t* cols, double* vals,
+                           double* diag_extra) {
+  const int64_t n = (int64_t)ny * nx;
+  std::vector<double> diag(n, 0.0);
+  std::vector<double> rau(n);
+  for (int64_t i = 0; i < n; ++i) rau[i] = dt / rho[i];
+
+  int64_t pos = 0;
+  auto face = [&](int64_t p, int64_t q, double area_over_dist) {
+    const double rf = 2.0 * rau[p] * rau[q] / (rau[p] + rau[q]);
+    const double c = rf * area_over_dist;
+    rows[pos] = (int32_t)p;
+    cols[pos] = (int32_t)q;
+    vals[pos] = -c;
+    ++pos;
+    rows[pos] = (int32_t)q;
+    cols[pos] = (int32_t)p;
+    vals[pos] = -c;
+    ++pos;
+    diag[p] += c;
+    diag[q] += c;
+  };
+
+  for (int32_t j = 0; j < ny; ++j)
+    for (int32_t i = 0; i + 1 < nx; ++i)
+      face((int64_t)j * nx + i, (int64_t)j * nx + i + 1, dy / dx);
+  for (int32_t j = 0; j + 1 < ny; ++j)
+    for (int32_t i = 0; i < nx; ++i)
+      face((int64_t)j * nx + i, (int64_t)(j + 1) * nx + i, dx / dy);
+
+  for (int64_t i = 0; i < n; ++i) diag_extra[i] = 0.0;
+  if (dirichlet_top) {
+    for (int32_t i = 0; i < nx; ++i) {
+      const int64_t cell = (int64_t)(ny - 1) * nx + i;
+      const double c_b = rau[cell] * dx / (dy / 2.0);
+      diag_extra[cell] = c_b;
+      diag[cell] += c_b;
+    }
+  } else {
+    diag[0] += 1.0;
+  }
+
+  for (int64_t i = 0; i < n; ++i) {
+    rows[pos] = (int32_t)i;
+    cols[pos] = (int32_t)i;
+    vals[pos] = diag[i];
+    ++pos;
+  }
+  return pos;
+}
+
 }  // extern "C"

@@ -114,3 +114,25 @@ def test_native_ic0_speed():
     native.ic0(indptr, tril.indices, d)
     native_t = time.perf_counter() - start
     assert native_t < 0.05, f"native IC(0) took {native_t:.3f}s"
+
+
+def test_native_fvm_assemble_matches_numpy():
+    import deeppreconditioning_tpu.data.fvm as fvm
+
+    rng = np.random.default_rng(3)
+    ny, nx = 15, 13
+    rho = np.where(rng.uniform(size=(ny, nx)) > 0.5, 1000.0, 1400.0)
+
+    a_native, de_native = fvm.assemble_pressure_poisson(ny, nx, rho)
+
+    # force the numpy fallback
+    orig = native.available
+    native.available = lambda: False
+    try:
+        a_numpy, de_numpy = fvm.assemble_pressure_poisson(ny, nx, rho)
+    finally:
+        native.available = orig
+
+    np.testing.assert_allclose(a_native.toarray(), a_numpy.toarray(),
+                               rtol=1e-14)
+    np.testing.assert_allclose(de_native, de_numpy, rtol=1e-14)
