@@ -39,6 +39,11 @@ from deeppreconditioning_tpu.models.precond_net import (
     output_to_dense,
 )
 from deeppreconditioning_tpu.ops.amg import amg_apply, build_amg
+from deeppreconditioning_tpu.ops.factor_apply import (
+    build_factor_apply_plan,
+    factor_normal_apply,
+    pattern_widths,
+)
 from deeppreconditioning_tpu.ops.ic0 import (
     ic0_factor,
     ict_factor,
@@ -62,6 +67,22 @@ RESULTS_DIRECTORY = Path("./assets/results/")
 
 def _diag_apply(d, r):
     return d * r
+
+
+@functools.partial(jax.jit, static_argnames=("model", "dtype"))
+def _learned_factor_values(model, params, features, plans, scales, n0,
+                           dtype=jnp.float32):
+    """Model forward -> effective L values in factor form (no dense
+    materialization, no n^3 matmul): the whole learned setup is this one
+    compiled call.  Scaling fold and padding mask act per-entry:
+    L_eff[i,j] = D_i^-1/2 * L~[i,j] for i,j < n0, else 0 — the factor
+    form of the dense masking in _learned_setup_device."""
+    values = batched_apply(model, params, features, plans)[0]
+    final = jax.tree.map(lambda x: x[0], plans[-1])
+    d_isqrt = 1.0 / jnp.sqrt(scales[0].astype(values.dtype))
+    mask = (final.rows < n0) & (final.cols < n0)
+    values = values * d_isqrt[final.rows] * mask
+    return values.astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "dtype"))
@@ -119,6 +140,8 @@ class BenchmarkSuite:
     max_iter: int = 1024
     rtol: float = 1e-8
     dtype: object = jnp.float32
+    learned_apply: str = "dense"  # "dense" (n^2 matvec, best at bench
+    # sizes) or "factor" (gather-based z = L (L^T r), best at large n)
     timing_reps: int = 30  # amortize device-sync latency: one
     # block_until_ready costs ~35ms through a tunneled chip (vs ~0.1ms
     # of actual solve compute), so solves/setups are timed as R
@@ -260,33 +283,103 @@ class BenchmarkSuite:
             m_sp = sp.csr_matrix(np.column_stack(cols))
         return _amg_apply, m, dens, m_sp
 
+    def _learned_widths(self):
+        """Dataset-global (w_lower, w_upper) of the final-plan pattern —
+        static so one compiled factor apply serves every case."""
+        if getattr(self, "_fw_cache", None) is None:
+            w_l, w_u = 1, 1
+            for index in range(len(self.data_set)):
+                fin = self.data_set[index].plans[-1]
+                for b in range(np.asarray(fin.rows).shape[0]):
+                    wl, wu = pattern_widths(
+                        np.asarray(fin.rows[b]),
+                        np.asarray(fin.cols[b]),
+                        np.asarray(fin.valid[b]),
+                    )
+                    w_l, w_u = max(w_l, wl), max(w_u, wu)
+            self._fw_cache = (w_l, w_u)
+        return self._fw_cache
+
+    def _learned_plan(self, batch, ell):
+        """Per-case FactorApplyPlan (pattern-only, dataset-derived — the
+        analog of batch.plans, so built outside the timed setup)."""
+        fin = batch.plans[-1]
+        key = id(fin.rows)
+        cache = getattr(self, "_fp_cache", None)
+        if cache is None:
+            cache = self._fp_cache = {}
+        if key not in cache:
+            cache[key] = build_factor_apply_plan(
+                np.asarray(fin.rows[0]),
+                np.asarray(fin.cols[0]),
+                np.asarray(fin.valid[0]),
+                ell.n_pad,
+                widths=self._learned_widths(),
+            )
+        return cache[key]
+
     def _setup_learned(self, a_sp, batch, ell, need_dense,
                        timing=False):
+        """Learned technique, dense apply (z = M @ r, M = L L^T).
+
+        Benchmark-size systems (n_pad ~ 1k) favor the dense apply on
+        TPU: an n^2 f32 matvec is one MXU-friendly fusion (~37 us) while
+        XLA lowers the factor-form 2-D gathers to near-serial loads
+        (~240 us measured).  ``apply="factor"`` switches to the
+        gather-based factor apply (ops/factor_apply.py) — the right
+        trade once n^2 dwarfs nnz (large/distributed systems)."""
         n0 = a_sp.shape[0]
         # hoist the per-case scalar to one transfer (repeated np scalar
         # creation is a fresh H2D round trip per call on a tunneled chip)
         if getattr(self, "_n0_cache", None) != n0:
             self._n0_dev = jnp.int32(n0)
             self._n0_cache = n0
-        m, nnz = _learned_setup_device(
-            self.model, self.params, batch.features, batch.plans,
-            batch.scales, self._n0_dev, dtype=self.dtype,
-        )
-        assert m.shape[0] == ell.n_pad, (
-            "suite expects dataset-global padding == solver padding"
-        )
+        if self.learned_apply == "factor":
+            plan = self._learned_plan(batch, ell)
+            vals = _learned_factor_values(
+                self.model, self.params, batch.features, batch.plans,
+                batch.scales, self._n0_dev, dtype=self.dtype,
+            )
+            apply_m, m_data = factor_normal_apply, (plan, vals)
+            m = None
+        else:
+            m, nnz = _learned_setup_device(
+                self.model, self.params, batch.features, batch.plans,
+                batch.scales, self._n0_dev, dtype=self.dtype,
+            )
+            assert m.shape[0] == ell.n_pad, (
+                "suite expects dataset-global padding == solver padding"
+            )
+            apply_m, m_data = dense_matvec, m
         if timing:
-            return dense_matvec, m, None, None
+            return apply_m, m_data, None, None
         if need_dense:
+            if m is None:
+                m, _ = _learned_setup_device(
+                    self.model, self.params, batch.features, batch.plans,
+                    batch.scales, self._n0_dev, dtype=self.dtype,
+                )
             m_np = np.asarray(m, np.float64)
             m_sp = sp.csr_matrix(m_np[:n0, :n0])
             dens = 100.0 * m_sp.nnz / (n0 * n0)
         else:
             m_sp = None
-            # device scalar — caller converts after the timed region so
-            # setup timing carries no extra host sync
-            dens = nnz * 100.0 / (n0 * n0)
-        return dense_matvec, m, dens, m_sp
+            if m is not None:
+                # device scalar — converted outside the timed region
+                dens = float(jnp.count_nonzero(m)) * 100.0 / (n0 * n0)
+            else:
+                fin = batch.plans[-1]
+                keep = (np.asarray(fin.valid[0])
+                        & (np.asarray(fin.rows[0]) < n0)
+                        & (np.asarray(fin.cols[0]) < n0))
+                l_pat = sp.csr_matrix(
+                    (np.ones(int(keep.sum())),
+                     (np.asarray(fin.rows[0])[keep],
+                      np.asarray(fin.cols[0])[keep])),
+                    shape=(n0, n0),
+                )
+                dens = 100.0 * (l_pat @ l_pat.T).nnz / (n0 * n0)
+        return apply_m, m_data, dens, m_sp
 
     # -- measurement ------------------------------------------------------
     def _solve(self, ell, b_dev, apply_m, m_data):
