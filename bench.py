@@ -124,9 +124,9 @@ def main() -> None:
         model_params = load_checkpoint(ckpt)["params"]
 
     techniques = (
-        ("vanilla", "jacobi", "incomplete_cholesky", "learned")
+        ("vanilla", "jacobi", "incomplete_cholesky", "fsai", "learned")
         if model_params is not None
-        else ("vanilla", "jacobi", "incomplete_cholesky")
+        else ("vanilla", "jacobi", "incomplete_cholesky", "fsai")
     )
     suite = BenchmarkSuite(
         data_set, model, model_params,

@@ -1,0 +1,328 @@
+"""Factorized Sparse Approximate Inverse (FSAI) preconditioner on TPU.
+
+A TPU-native *extension* beyond the reference's technique set
+(uibk/deep_preconditioning/test.py:42-49 has vanilla / jacobi / ichol /
+ilu / amg / learned): FSAI builds a lower-triangular C on a fixed sparsity
+pattern with ``C^T A C ~= I``, so ``M = C C^T ~= A^-1`` is applied exactly
+like the learned preconditioner (dense matvec, cg.py:81) — but its values
+come from closed-form local solves instead of a CNN:
+
+    column j:  solve  A[S_j, S_j] y = e_pos(j),   c_j = y / sqrt(y_pos(j))
+
+where S_j = {i >= j : (i,j) in pattern}.  This minimizes the Kaporin
+condition number of C^T A C over the pattern (Kaporin 1994), and with the
+pattern of tril(|A|^3) it out-iterates IC(0) on the FVM dataset while its
+setup is embarrassingly parallel: one batched (n, w, w) Cholesky solve —
+exactly what a TPU is good at, and why FSAI (not level-scheduled IC) is
+the idiomatic TPU answer to "strong classical preconditioner".
+
+Everything static-shaped: the pattern is precomputed host-side into an
+``FSAIPlan`` of fixed column width w (dataset-global), so one compiled
+setup executable serves every case.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from flax import struct
+
+
+# -- host: pattern + plan ---------------------------------------------------
+
+def tril_power_pattern(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    n: int,
+    power: int = 3,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Lower-triangular pattern of |A|^power from A's tril COO pattern.
+
+    The classical a-priori FSAI pattern choice (sparsity of a small
+    matrix power).  Input sites may be tril-only; the graph is
+    symmetrized first.  Returns (rows, cols) sorted by (col, row).
+    """
+    ones = np.ones(rows.shape[0], np.int8)
+    a = sp.csr_matrix((ones, (rows, cols)), shape=(n, n))
+    a = ((a + a.T) > 0).astype(np.int8)
+    p = a
+    for _ in range(power - 1):
+        p = ((p @ a) > 0).astype(np.int8)
+    p = sp.tril(p).tocoo()
+    order = np.argsort(
+        p.col.astype(np.int64) * n + p.row, kind="stable"
+    )
+    return p.row[order].astype(np.int32), p.col[order].astype(np.int32)
+
+
+@struct.dataclass
+class FSAIPlan:
+    """Static index plan for the batched-local-solve FSAI setup.
+
+    Shapes (n_pad = padded dim, w = static column width):
+        sub_idx: (n_pad, w, w) int32 — index into the level-0 tril value
+            vector for submatrix entry A[S_p, S_q] (symmetric lookup);
+            sentinel = len(values) -> 0.0.
+        pos: (n_pad,) int32 — position of j inside S_j.
+        out_rows: (n_pad, w) int32 — row coordinates S_j (sentinel n_pad
+            for padded slots).
+        diag_pad: (n_pad, w) float32 — 1.0 on padded diagonal slots so the
+            submatrix stays SPD (identity block, decoupled from the
+            solve).
+    """
+
+    sub_idx: jax.Array
+    pos: jax.Array
+    out_rows: jax.Array
+    diag_pad: jax.Array
+    l0_rows: jax.Array  # (sentinel,) int32 tril scatter rows (pad n_pad)
+    l0_cols: jax.Array  # (sentinel,) int32 tril scatter cols (pad 0)
+
+    @property
+    def n_pad(self) -> int:
+        return self.sub_idx.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.sub_idx.shape[1]
+
+
+def pattern_col_width(pat_rows: np.ndarray, pat_cols: np.ndarray) -> int:
+    """Max nnz per column — use the dataset-global max as static width."""
+    return int(np.bincount(pat_cols).max(initial=1))
+
+
+def build_fsai_plan(
+    l0_rows: np.ndarray,
+    l0_cols: np.ndarray,
+    pat_rows: np.ndarray,
+    pat_cols: np.ndarray,
+    n_pad: int,
+    width: Optional[int] = None,
+    sentinel: Optional[int] = None,
+) -> FSAIPlan:
+    """Host plan build (numpy, vectorized — no per-column Python loop).
+
+    ``l0_rows/l0_cols``: the tril(A) value-vector sites, sorted by
+    (row, col) — the dataset's level-0 layout (datasets._prepare_sample).
+    ``pat_rows/pat_cols``: the FSAI pattern, lower-triangular.
+    ``sentinel``: length of the device value vector if it is padded
+    beyond len(l0_rows) (bucketed datasets) — padding values must be 0.
+    """
+    l0_lin = l0_rows.astype(np.int64) * n_pad + l0_cols
+    assert np.all(l0_lin[:-1] <= l0_lin[1:]), "level-0 sites must be sorted"
+    sentinel_val = (
+        l0_rows.shape[0] if sentinel is None else int(sentinel)
+    )
+
+    if width is None:
+        width = pattern_col_width(pat_rows, pat_cols)
+    w = width
+
+    # group pattern rows by column into S (n_pad, w), sentinel = n_pad
+    order = np.argsort(
+        pat_cols.astype(np.int64) * n_pad + pat_rows, kind="stable"
+    )
+    r_s = pat_rows[order].astype(np.int64)
+    c_s = pat_cols[order].astype(np.int64)
+    counts = np.bincount(c_s, minlength=n_pad)
+    if counts.max(initial=0) > w:
+        raise ValueError(
+            f"column width {counts.max()} exceeds static width {w}"
+        )
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    slot = np.arange(r_s.shape[0]) - starts[c_s]
+    s_mat = np.full((n_pad, w), n_pad, np.int64)
+    s_mat[c_s, slot] = r_s
+
+    # every column must contain its own diagonal site
+    pos = np.argmax(s_mat == np.arange(n_pad)[:, None], axis=1)
+    assert (
+        s_mat[np.arange(n_pad), pos] == np.arange(n_pad)
+    ).all(), "FSAI pattern must contain the diagonal"
+
+    # submatrix value lookup: A[S_p, S_q] with symmetric (hi, lo) key
+    p = s_mat[:, :, None]
+    q = s_mat[:, None, :]
+    in_range = (p < n_pad) & (q < n_pad)
+    hi = np.maximum(p, q)
+    lo = np.minimum(p, q)
+    key = np.where(in_range, hi * n_pad + lo, -1)
+    flat = key.reshape(-1)
+    nnz = l0_lin.shape[0]
+    idx = np.searchsorted(l0_lin, flat)
+    idx_c = np.clip(idx, 0, max(nnz - 1, 0))
+    found = (flat >= 0) & (idx < nnz) & (l0_lin[idx_c] == flat)
+    sub_idx = np.where(found, idx_c, sentinel_val).astype(np.int32)
+    sub_idx = sub_idx.reshape(n_pad, w, w)
+
+    diag_pad = (s_mat == n_pad).astype(np.float32)
+
+    # scatter coordinates for rebuilding the dense scaled matrix on
+    # device (padded tail of the value vector lands in a dumped row)
+    sc_rows = np.full(sentinel_val, n_pad, np.int32)
+    sc_cols = np.zeros(sentinel_val, np.int32)
+    sc_rows[:nnz] = l0_rows
+    sc_cols[:nnz] = l0_cols
+
+    return FSAIPlan(
+        sub_idx=jnp.asarray(sub_idx),
+        pos=jnp.asarray(pos.astype(np.int32)),
+        out_rows=jnp.asarray(s_mat.astype(np.int32)),
+        diag_pad=jnp.asarray(diag_pad),
+        l0_rows=jnp.asarray(sc_rows),
+        l0_cols=jnp.asarray(sc_cols),
+    )
+
+
+# -- device: batched local solves -------------------------------------------
+
+def _batched_gauss_jordan(sub: jax.Array, e: jax.Array) -> jax.Array:
+    """Solve sub @ y = e for a batch of small SPD systems.
+
+    Unrolled Gauss-Jordan without pivoting — (w) steps of fully
+    vectorized elementwise work over the batch, which XLA fuses into a
+    handful of VPU kernels.  This replaces ``jnp.linalg.cholesky`` +
+    ``cho_solve``, whose LAPACK-style lowering runs ~3 ms for a
+    (1024, 13, 13) batch on a v5e chip (vs ~0.1 ms here).  No pivoting is
+    safe: the submatrices are principal blocks of an SPD matrix with unit
+    diagonal (symmetric Jacobi scaling), and padded slots carry an
+    identity block.
+    """
+    w = sub.shape[-1]
+    aug = jnp.concatenate([sub, e[:, :, None]], axis=2)  # (B, w, w+1)
+    for k in range(w):
+        pivot = aug[:, k, k][:, None]
+        row_k = aug[:, k, :] / pivot  # (B, w+1)
+        col_k = aug[:, :, k]  # (B, w)
+        col_k = col_k.at[:, k].set(0.0)  # keep row k itself
+        aug = aug - col_k[:, :, None] * row_k[:, None, :]
+        aug = aug.at[:, k, :].set(row_k)
+    return aug[:, :, w]
+
+
+def fsai_values(plan: FSAIPlan, l0_vals: jax.Array) -> jax.Array:
+    """Column values of C from batched local solves (one fused jit).
+
+    Returns (n_pad, w): entry [j, k] is C[S_j[k], j] (0 on padded slots).
+
+    TPU shape notes: the (n_pad, w, w) submatrix extraction avoids XLA's
+    near-serial element gather (measured ~3 ms for 170k indices) by
+    gathering *whole rows* of the dense scaled matrix (dynamic-slice
+    rows, lane-vectorized) and selecting columns with a one-hot batched
+    matmul on the MXU; the local solves are an unrolled Gauss-Jordan
+    (see _batched_gauss_jordan).
+    """
+    n_pad = plan.n_pad
+    w = plan.width
+    dtype = l0_vals.dtype
+
+    # dense symmetric scaled matrix from the tril value vector (scatter
+    # of nnz0 elements, once per setup)
+    a_dense = jnp.zeros((n_pad + 1, n_pad), dtype)
+    a_dense = a_dense.at[plan.l0_rows, plan.l0_cols].add(l0_vals)
+    a_dense = a_dense[:n_pad]
+    a_dense = a_dense + jnp.tril(a_dense, -1).T
+
+    s_mat = plan.out_rows  # (n_pad, w), sentinel n_pad
+    s_safe = jnp.minimum(s_mat, n_pad - 1)
+    # rows of every submatrix: (n_pad, w, n_pad) row gather
+    r_rows = a_dense[s_safe.reshape(-1)].reshape(n_pad, w, n_pad)
+    # column selection as one-hot batched matmul (MXU): O[j, n, q] =
+    # [n == S_j[q]]
+    one_hot = (
+        s_safe[:, None, :] == jnp.arange(n_pad)[None, :, None]
+    ).astype(dtype)  # (n_pad, n_pad, w)
+    sub = jnp.einsum("jpn,jnq->jpq", r_rows, one_hot)
+    # padded slots: identity block, decoupled
+    pad = plan.diag_pad  # (n_pad, w) 1.0 where padded
+    live = 1.0 - pad
+    sub = sub * live[:, :, None] * live[:, None, :]
+    sub = sub + jnp.eye(w, dtype=dtype) * pad[:, :, None]
+
+    e = jax.nn.one_hot(plan.pos, w, dtype=dtype)  # (n_pad, w)
+    y = _batched_gauss_jordan(sub, e)
+    y_pos = jnp.take_along_axis(y, plan.pos[:, None], axis=1)[:, 0]
+    c = y / jnp.sqrt(jnp.maximum(y_pos, 1e-30))[:, None]
+    return jnp.where(plan.out_rows < n_pad, c, 0.0)
+
+
+def fsai_dense_factor(
+    plan: FSAIPlan,
+    c_vals: jax.Array,
+    d_isqrt: Optional[jax.Array] = None,
+    n0: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scatter column values into a dense lower-triangular C.
+
+    Optionally folds the dataset's symmetric Jacobi scaling
+    (C_raw = D^-1/2 C_scaled) and masks rows/cols >= n0 — mirroring the
+    learned technique's effective-preconditioner transform
+    (bench.suite._learned_setup_device).
+    """
+    n_pad = plan.n_pad
+    j_idx = jnp.broadcast_to(
+        jnp.arange(n_pad)[:, None], plan.out_rows.shape
+    )
+    c = jnp.zeros((n_pad + 1, n_pad), c_vals.dtype)
+    c = c.at[plan.out_rows, j_idx].add(c_vals)[:n_pad]
+    if d_isqrt is not None:
+        c = d_isqrt[:, None] * c
+    if n0 is not None:
+        mask = jnp.arange(n_pad) < n0
+        c = jnp.where(mask[:, None] & mask[None, :], c, 0.0)
+    return c
+
+
+def fsai_dense_preconditioner(
+    plan: FSAIPlan,
+    l0_vals: jax.Array,
+    d_isqrt: Optional[jax.Array] = None,
+    n0: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Full FSAI setup: M = C C^T ~= A^-1 as a dense matrix (one jit)."""
+    c_vals = fsai_values(plan, l0_vals)
+    c = fsai_dense_factor(plan, c_vals, d_isqrt, n0)
+    m = c @ c.T
+    if n0 is not None:
+        mask = jnp.arange(plan.n_pad) < n0
+        m = jnp.where(mask[:, None] & mask[None, :], m, 0.0)
+    return m.astype(dtype)
+
+
+# -- host reference (tests / data generation) --------------------------------
+
+def fsai_factor_scipy(
+    a: sp.spmatrix,
+    pat_rows: np.ndarray,
+    pat_cols: np.ndarray,
+) -> sp.csc_matrix:
+    """Reference implementation: per-column dense local solves (numpy)."""
+    n = a.shape[0]
+    a_csr = sp.csr_matrix(a)
+    ad = a_csr.toarray()
+    pat = sp.csc_matrix(
+        (np.ones(pat_rows.shape[0]), (pat_rows, pat_cols)), shape=(n, n)
+    )
+    rows_o, cols_o, vals_o = [], [], []
+    for j in range(n):
+        s = pat.indices[pat.indptr[j]:pat.indptr[j + 1]]
+        s = np.unique(np.append(s[s >= j], j))
+        p = int(np.searchsorted(s, j))
+        e = np.zeros(len(s))
+        e[p] = 1.0
+        y = np.linalg.solve(ad[np.ix_(s, s)], e)
+        y = y / np.sqrt(max(y[p], 1e-30))
+        rows_o.append(s)
+        cols_o.append(np.full(len(s), j))
+        vals_o.append(y)
+    return sp.csc_matrix(
+        (np.concatenate(vals_o),
+         (np.concatenate(rows_o), np.concatenate(cols_o))),
+        shape=(n, n),
+    )

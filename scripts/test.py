@@ -55,7 +55,8 @@ def main() -> None:
 
     if args.techniques == "all":
         techniques = ("vanilla", "jacobi", "incomplete_cholesky",
-                      "incomplete_lu", "algebraic_multigrid", "learned")
+                      "incomplete_lu", "algebraic_multigrid", "fsai",
+                      "learned")
     else:
         techniques = tuple(args.techniques.split(","))
     suite = BenchmarkSuite(

@@ -27,7 +27,7 @@ def test_suite_runs_all_techniques(tmp_path):
     suite = BenchmarkSuite(
         ds, model, params,
         techniques=("vanilla", "jacobi", "incomplete_cholesky",
-                    "learned"),
+                    "fsai", "learned"),
         timing_reps=1, kappa_cases=1,
         results_directory=tmp_path,
     )
@@ -39,9 +39,12 @@ def test_suite_runs_all_techniques(tmp_path):
         # every technique must converge on every case
         assert stats["success"] == 100.0, (name, stats)
         assert np.isfinite(stats["total"])
-    # a real preconditioner must not be worse than vanilla (the learned
-    # one is untrained here, so only IC is held to this)
+    # real preconditioners must not be worse than vanilla (the learned
+    # one is untrained here, so only IC/FSAI are held to this)
     assert summary["incomplete_cholesky"]["iterations"] <= (
+        summary["vanilla"]["iterations"]
+    )
+    assert summary["fsai"]["iterations"] <= (
         summary["vanilla"]["iterations"]
     )
     assert (tmp_path / "table.csv").exists()
@@ -51,3 +54,45 @@ def test_suite_runs_all_techniques(tmp_path):
     header = (tmp_path / "table.csv").read_text().splitlines()[0]
     assert header == ("technique,kappas,densities,iterations,setups,"
                       "durations,totals,successes")
+
+
+def test_suite_fsai_matches_scipy_reference():
+    """The suite's scaled-then-folded FSAI equals FSAI computed directly
+    on the raw system (scaling covariance)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from deeppreconditioning_tpu.bench.suite import (
+        BenchmarkSuite, _fsai_setup_device,
+    )
+    from deeppreconditioning_tpu.ops.fsai import (
+        fsai_factor_scipy, tril_power_pattern,
+    )
+
+    channels = (1, 4, 8, 4, 1)
+    specs = precond_net_specs(channels)
+    ds = RandomSPDDataSet(
+        "train", dof=48, batch_size=1, specs=specs, sparsity=0.85,
+        length=2, seed=3, shuffle=False,
+    )
+    suite = BenchmarkSuite(
+        ds, None, None, techniques=("vanilla", "fsai"),
+        timing_reps=1, kappa_cases=0,
+    )
+    batch = ds[0]
+    a_sp, _, _, n0 = suite._reconstruct(batch)
+    from deeppreconditioning_tpu.sparse import ELLMatrix
+    ell = ELLMatrix.from_scipy(a_sp, n_pad=ds.dof_pad)
+    plan, feats0, scales0 = suite._fsai_plan(batch, ell)
+    m = np.asarray(_fsai_setup_device(
+        plan, feats0.astype(jnp.float64),
+        scales0, jnp.int32(n0), dtype=jnp.float64,
+    ))[:n0, :n0]
+
+    r0, c0, _ = suite._l0_sites(batch)
+    keep = (r0 < n0) & (c0 < n0)
+    pr, pc = tril_power_pattern(
+        r0[keep], c0[keep], n0, power=suite.fsai_power
+    )
+    c_ref = fsai_factor_scipy(a_sp, pr, pc)
+    m_ref = (c_ref @ c_ref.T).toarray()
+    np.testing.assert_allclose(m, m_ref, rtol=1e-4, atol=1e-6)
