@@ -102,3 +102,36 @@ def condition_loss(
     ma = jnp.einsum("bij,bjk->bik", m, a)
     sigmas = jnp.linalg.svd(ma, compute_uv=False)
     return (sigmas.max(axis=1) / sigmas.min(axis=1)).mean()
+
+
+def kaporin_loss(
+    systems_tril_dense: jax.Array,  # (B, n, n) lower-triangular A part
+    l_dense: jax.Array,  # (B, n, n) lower-triangular factor L
+    eps: float = 1e-30,
+) -> jax.Array:
+    """Log Kaporin condition number of L^T A L (framework extension).
+
+    Kaporin (1994): CG iteration count is bounded through
+    K = (trace(B)/n) / det(B)^(1/n) with B = L^T A L; K = 1 iff B = I.
+    For triangular L, det(B) = det(A) * (prod_j L_jj)^2, so
+
+        log K = log(trace(L^T A L) / n) - (2/n) sum_j log L_jj + const(A)
+
+    — fully differentiable with *no* eigen/svd decomposition (contrast
+    condition_loss, metrics.py:80-100) and no n^3 determinant: the trace
+    is sum(L * (A L)).  This is the objective FSAI minimizes exactly over
+    a fixed pattern (ops/fsai.py), making it the natural fine-tuning loss
+    for learned factors.  The constant (1/n) log det(A) is dropped: it
+    shifts the loss per sample but not the gradient.
+    """
+    a = symmetrize_tril(systems_tril_dense)
+    n = a.shape[-1]
+    al = jnp.einsum("bij,bjk->bik", a, l_dense)
+    trace = jnp.sum(l_dense * al, axis=(1, 2))
+    diag = jnp.diagonal(l_dense, axis1=1, axis2=2)
+    logdet_term = jnp.sum(
+        jnp.log(jnp.maximum(jnp.abs(diag), eps)), axis=1
+    )
+    return (
+        jnp.log(jnp.maximum(trace / n, eps)) - (2.0 / n) * logdet_term
+    ).mean()

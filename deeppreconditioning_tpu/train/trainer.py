@@ -179,6 +179,144 @@ def validate(model, params, dataset, logger: MetricsLogger | None = None,
     )
 
 
+# -- NeuralFSAI training path (framework extension; models/neural_fsai) -----
+
+@partial(jax.jit, static_argnames=("model", "tx", "loss"))
+def fsai_train_step(model, tx, state: TrainState, plans, feats,
+                    a_tril, loss: str = "inverse_loss"):
+    """One optimization step for NeuralFSAI (plans/feats instead of conv
+    plans; same objectives by name)."""
+    from deeppreconditioning_tpu.models.neural_fsai import (
+        batched_apply_fsai,
+        batched_dense_factor,
+    )
+
+    def loss_fn(p):
+        c_vals = batched_apply_fsai(model, p, plans, feats)
+        c_dense = batched_dense_factor(plans, c_vals)
+        if loss == "kaporin_loss":
+            return metrics_lib.kaporin_loss(a_tril, c_dense)
+        if loss == "inverse_loss":
+            return metrics_lib.inverse_loss(a_tril, c_dense)
+        raise ValueError(f"unsupported NeuralFSAI loss {loss}")
+
+    loss_val, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss_val
+
+
+@partial(jax.jit, static_argnames=("model", "max_iter"))
+def _fsai_validate_device(model, params, plans, feats, a_tril,
+                          right_hand_sides, max_iter: int = 1024):
+    """Validation for NeuralFSAI: inverse loss + batched PCG iterations
+    on the scaled systems (similarity-invariant iteration counts)."""
+    from deeppreconditioning_tpu.models.neural_fsai import (
+        batched_apply_fsai,
+        batched_dense_factor,
+    )
+    c_vals = batched_apply_fsai(model, params, plans, feats)
+    c_dense = batched_dense_factor(plans, c_vals)
+    loss = metrics_lib.inverse_loss(a_tril, c_dense)
+    a_full = metrics_lib.symmetrize_tril(a_tril)
+    m = jnp.einsum("bij,bkj->bik", c_dense, c_dense)
+
+    def solve_one(a, b, mm):
+        return preconditioned_conjugate_gradient(
+            dense_matvec, a, b, dense_matvec, mm, max_iter=max_iter
+        )
+
+    results = jax.vmap(solve_one)(a_full, right_hand_sides, m)
+    return loss, results.iterations
+
+
+def train_neural_fsai(
+    model,
+    train_set,
+    val_set,
+    plan_provider,
+    learning_rate: float = 1e-3,
+    patience: int = 16,
+    max_epochs: int = 200,
+    checkpoint_dir: Path | str = Path("assets/checkpoints_fsai"),
+    metrics_dir: Path | str = Path("assets/metrics_fsai"),
+    seed: int = 69,
+    loss: str = "inverse_loss",
+) -> TrainState:
+    """Training loop for the NeuralFSAI model family (train.py:139-190
+    protocol: Adam, 95/5 split handled by the caller, early stopping,
+    best/latest checkpoints, four metric series)."""
+    checkpoint_dir = Path(checkpoint_dir)
+    tx = optax.adam(learning_rate)
+
+    batch0 = train_set[0]
+    plans0 = plan_provider(0, batch0)
+    sample_plan = jax.tree.map(lambda x: x[0], plans0)
+    params = model.init(
+        jax.random.PRNGKey(seed), sample_plan, batch0.features[0, :, 0]
+    )
+    state = TrainState(params, tx.init(params), jnp.int32(0))
+
+    logger = MetricsLogger(metrics_dir)
+    stopper = EarlyStopping(patience=patience)
+    best_val = float("inf")
+
+    def _ckpt(path, state):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": int(state.step),
+            "width": model.width,
+            "hidden": model.hidden,
+        }
+        path.write_bytes(serialization.to_bytes(payload))
+
+    for epoch in range(max_epochs):
+        epoch_losses = []
+        for i in range(len(train_set)):
+            batch = train_set[i]
+            plans = plan_provider(i, batch)
+            state, loss_val = fsai_train_step(
+                model, tx, state, plans, batch.features[:, :, 0],
+                batch.systems.to_dense(), loss,
+            )
+            epoch_losses.append(float(loss_val))
+        train_loss = float(np.mean(epoch_losses))
+
+        v_losses, v_iters = [], []
+        start = time.perf_counter()
+        for i in range(len(val_set)):
+            batch = val_set[i]
+            plans = plan_provider(i, batch)
+            vl, vi = _fsai_validate_device(
+                model, state.params, plans, batch.features[:, :, 0],
+                batch.systems.to_dense(), batch.right_hand_sides,
+            )
+            v_losses.append(float(vl))
+            v_iters.extend(np.asarray(vi).tolist())
+        val_loss = float(np.mean(v_losses))
+        val_duration = (time.perf_counter() - start) / max(len(val_set), 1)
+
+        logger.log_metric("train/loss/inverse", train_loss)
+        logger.log_metric("val/loss/inverse", val_loss)
+        logger.log_metric("val/metric/durations", val_duration)
+        logger.log_metric("val/metric/iterations",
+                          float(np.mean(v_iters)))
+        logger.next_step()
+
+        _ckpt(checkpoint_dir / "latest.msgpack", state)
+        if val_loss < best_val:
+            best_val = val_loss
+            _ckpt(checkpoint_dir / "best.msgpack", state)
+
+        if stopper(val_loss):
+            break
+
+    logger.close()
+    return state
+
+
 def save_checkpoint(path: Path, model, state: TrainState) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = {

@@ -1,0 +1,95 @@
+"""Train stage for the NeuralFSAI model family (framework extension).
+
+Same protocol as scripts/train.py (reference train.py:139-190: params
+from params.yaml, 95/5 split, Adam, early stopping, checkpoints +
+metrics), but over FSAI plans instead of conv plans.  The learning rate
+defaults to params.learning_rate / 10: training starts at the exact FSAI
+optimum (zero-init refinement) and fine-tunes, which overshoots at the
+conv-net default.
+
+Usage: python scripts/train_fsai.py [--max-epochs N] [--loss NAME]
+       [--width W] [--power P] [--lr LR]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from deeppreconditioning_tpu.config import (  # noqa: E402
+    get_dataset_class,
+    params_show,
+)
+from deeppreconditioning_tpu.models import (  # noqa: E402
+    FSAIPlanProvider,
+    NeuralFSAI,
+    plan_builder_for,
+)
+from deeppreconditioning_tpu.train.trainer import (  # noqa: E402
+    train_neural_fsai,
+)
+
+
+class _SubsetView:
+    def __init__(self, base, indices):
+        self.base = base
+        self.indices = list(indices)
+        self.batch_size = base.batch_size
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.base[self.indices[i]]
+
+
+def main() -> None:
+    params = params_show()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--max-epochs", type=int,
+                        default=params.max_epochs)
+    parser.add_argument("--loss", default="inverse_loss",
+                        choices=["inverse_loss", "kaporin_loss"])
+    parser.add_argument("--width", type=int,
+                        default=params.extra.get("fsai_width", 16))
+    parser.add_argument("--power", type=int,
+                        default=params.extra.get("fsai_power", 3))
+    parser.add_argument("--lr", type=float,
+                        default=params.learning_rate / 10)
+    parser.add_argument("--checkpoint-dir",
+                        default="assets/checkpoints_fsai")
+    parser.add_argument("--metrics-dir", default="assets/metrics_fsai")
+    args = parser.parse_args()
+
+    specs = plan_builder_for("NeuralFSAI", None)
+    dataset_cls = get_dataset_class(params.data)
+    full = dataset_cls(
+        stage="train",
+        batch_size=params.batch_size,
+        specs=specs,
+        root=Path(params.data_root),
+        seed=params.seed,
+    )
+    n_batches = len(full)
+    n_val = max(1, n_batches * 5 // 100)
+    train_set = _SubsetView(full, range(n_batches - n_val))
+    val_set = _SubsetView(full, range(n_batches - n_val, n_batches))
+    provider = FSAIPlanProvider(full, power=args.power, width=args.width)
+    model = NeuralFSAI(width=args.width)
+
+    state = train_neural_fsai(
+        model, train_set, val_set, provider,
+        learning_rate=args.lr,
+        patience=params.patience,
+        max_epochs=args.max_epochs,
+        checkpoint_dir=Path(args.checkpoint_dir),
+        metrics_dir=Path(args.metrics_dir),
+        seed=params.seed,
+        loss=args.loss,
+    )
+    print("final step:", int(state.step))
+
+
+if __name__ == "__main__":
+    main()
