@@ -82,9 +82,14 @@ def test_suite_fsai_matches_scipy_reference():
     a_sp, _, _, n0 = suite._reconstruct(batch)
     from deeppreconditioning_tpu.sparse import ELLMatrix
     ell = ELLMatrix.from_scipy(a_sp, n_pad=ds.dof_pad)
-    plan, feats0, scales0 = suite._fsai_plan(batch, ell)
-    m = np.asarray(_fsai_setup_device(
-        plan, feats0.astype(jnp.float64),
+    from deeppreconditioning_tpu.bench.suite import (
+        _fsai_range_setup_device,
+    )
+    kind, plan, operand, scales0 = suite._fsai_plan(batch, ell)
+    setup_fn = (_fsai_range_setup_device if kind == "range"
+                else _fsai_setup_device)
+    m = np.asarray(setup_fn(
+        plan, operand.astype(jnp.float64),
         scales0, jnp.int32(n0), dtype=jnp.float64,
     ))[:n0, :n0]
 

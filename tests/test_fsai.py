@@ -107,6 +107,70 @@ def test_fsai_beats_jacobi_iterations():
     assert it_fsai < 0.5 * it_jacobi, (it_fsai, it_jacobi)
 
 
+def test_range_path_matches_generic():
+    """Range-blocked fast path == generic element-gather path."""
+    import jax
+
+    from deeppreconditioning_tpu.ops.fsai import (
+        build_range_fsai_plan,
+        fsai_dense_preconditioner_range,
+        fsai_values_range,
+    )
+
+    a = _poisson2d(16)  # banded ordering, n = 256
+    n = a.shape[0]
+    rows, cols, vals = _tril_sites(a)
+    pr, pc = tril_power_pattern(rows, cols, n, power=3)
+    plan_g = build_fsai_plan(rows, cols, pr, pc, n)
+    plan_r = build_range_fsai_plan(pr, pc, n, block_cols=8)
+    assert plan_r.range_h <= n
+
+    c_g = np.asarray(
+        fsai_values(plan_g, jnp.asarray(vals, jnp.float64))
+    )
+    a_dense = jnp.asarray(a.toarray(), jnp.float64)
+    c_r = np.asarray(fsai_values_range(plan_r, a_dense))
+    np.testing.assert_allclose(c_r, c_g, rtol=1e-9, atol=1e-12)
+
+    m_g = np.asarray(fsai_dense_preconditioner(
+        plan_g, jnp.asarray(vals, jnp.float64), dtype=jnp.float64
+    ))
+    m_r = np.asarray(fsai_dense_preconditioner_range(
+        plan_r, a_dense, dtype=jnp.float64
+    ))
+    np.testing.assert_allclose(m_r, m_g, rtol=1e-9, atol=1e-10)
+
+    # scaling fold + n0 mask parity
+    rng = np.random.default_rng(0)
+    d_isqrt = jnp.asarray(rng.random(n) + 0.5, jnp.float64)
+    n0 = jnp.int32(n - 10)
+    m_g = np.asarray(fsai_dense_preconditioner(
+        plan_g, jnp.asarray(vals, jnp.float64), d_isqrt=d_isqrt,
+        n0=n0, dtype=jnp.float64,
+    ))
+    m_r = np.asarray(fsai_dense_preconditioner_range(
+        plan_r, a_dense, d_isqrt=d_isqrt, n0=n0, dtype=jnp.float64,
+    ))
+    np.testing.assert_allclose(m_r, m_g, rtol=1e-9, atol=1e-10)
+
+
+def test_range_plan_rejects_nonbanded():
+    import pytest
+
+    from deeppreconditioning_tpu.ops.fsai import build_range_fsai_plan
+
+    # an arrow pattern couples the last row to everything: spread = n
+    n = 256
+    rows = np.concatenate(
+        [np.arange(n), np.full(n - 1, n - 1)]
+    ).astype(np.int32)
+    cols = np.concatenate(
+        [np.arange(n), np.arange(n - 1)]
+    ).astype(np.int32)
+    with pytest.raises(ValueError):
+        build_range_fsai_plan(rows, cols, n, range_h=128)
+
+
 def test_fsai_padded_and_masked():
     """Identity padding rows and the n0 mask must stay decoupled."""
     a = _poisson2d(6)
