@@ -116,23 +116,40 @@ def main() -> None:
     data_set._host = data_set._host[:20]
 
     ckpt = REPO / params.checkpoint_dir / "best.msgpack"
-    model = get_model_class(params.model)(
-        channels=tuple(params.channels)
-    )
     model_params = None
-    if ckpt.exists():
-        model_params = load_checkpoint(ckpt)["params"]
+    if params.model == "NeuralFSAI":
+        from deeppreconditioning_tpu.models import NeuralFSAI
+
+        model = None
+        if ckpt.exists():
+            payload = load_checkpoint(ckpt)
+            model = NeuralFSAI(
+                width=int(payload["width"]),
+                hidden=int(payload.get("hidden", 64)),
+            )
+            model_params = payload["params"]
+    else:
+        model = get_model_class(params.model)(
+            channels=tuple(params.channels)
+        )
+        if ckpt.exists():
+            model_params = load_checkpoint(ckpt)["params"]
 
     techniques = (
         ("vanilla", "jacobi", "incomplete_cholesky", "fsai", "learned")
         if model_params is not None
         else ("vanilla", "jacobi", "incomplete_cholesky", "fsai")
     )
+    suite_kwargs = {}
+    if params.model == "NeuralFSAI" and model_params is not None:
+        # the learned plan pattern must match the training pattern
+        suite_kwargs["fsai_power"] = int(payload.get("power", 4)) or 4
     suite = BenchmarkSuite(
         data_set, model, model_params,
         techniques=techniques,
         kappa_cases=0,
         results_directory=REPO / "assets" / "results",
+        **suite_kwargs,
     )
     suite.run()
     summary = suite.summary()

@@ -138,6 +138,30 @@ def _fsai_range_setup_device(plan, a_dense, scales, n0,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("model", "dtype"))
+def _neural_fsai_setup_device(model, params, plan, operand, scales, n0,
+                              dtype=jnp.float32):
+    """Learned setup for the NeuralFSAI family: base local solves +
+    refinement MLP -> M = C C^T with scaling fold and padding mask (the
+    factor analog of _learned_setup_device)."""
+    from deeppreconditioning_tpu.ops.fsai import (
+        RangeFSAIPlan,
+        fsai_dense_factor,
+        range_m_from_strips,
+        range_strips,
+    )
+
+    c_vals = model.apply(params, plan, operand.astype(dtype))
+    d_isqrt = 1.0 / jnp.sqrt(scales.astype(dtype))
+    if isinstance(plan, RangeFSAIPlan):
+        strips = range_strips(plan, c_vals)
+        return range_m_from_strips(plan, strips, d_isqrt, n0)
+    c = fsai_dense_factor(plan, c_vals, d_isqrt, n0)
+    m = c @ c.T
+    mask = jnp.arange(plan.n_pad) < n0
+    return jnp.where(mask[:, None] & mask[None, :], m, 0.0)
+
+
 def _tri_apply(md, r):
     return ic_apply(md[0], md[1], r)
 
@@ -356,22 +380,24 @@ class BenchmarkSuite:
         return cache[key]
 
     # -- FSAI (TPU-native extension; ops/fsai.py) -------------------------
-    def _fsai_plan(self, batch, ell):
+    def _fsai_plan(self, batch, ell, width=None):
         """Per-case FSAI plan + untimed input artifacts.
 
         Pattern plans and the dense scaled-matrix form are dataset-level
         input prep (the analog of batch.plans / the solver's ELL form),
         built outside the timed setup.  Returns
         (kind, plan, operand, scales): kind "range" (banded fast path,
-        operand = dense scaled A) or "generic" (operand = l0 values)."""
-        key = id(batch.features)
+        operand = dense scaled A) or "generic" (operand = l0 values).
+        ``width`` overrides the dataset-global column width (a trained
+        NeuralFSAI bakes its width into its parameters)."""
+        key = (id(batch.features), width)
         cache = getattr(self, "_fsai_cache", None)
         if cache is None:
             cache = self._fsai_cache = {}
         if key not in cache:
             if getattr(self, "_fsai_width", None) is None:
                 # dataset-global static width/range -> compiled once
-                width, spread = 1, 1
+                ds_width, spread = 1, 1
                 pats = []
                 for index in range(len(self.data_set)):
                     b = self.data_set[index]
@@ -379,7 +405,7 @@ class BenchmarkSuite:
                     pr, pc = tril_power_pattern(
                         r0, c0, ell.n_pad, power=self.fsai_power
                     )
-                    width = max(width, pattern_col_width(pr, pc))
+                    ds_width = max(ds_width, pattern_col_width(pr, pc))
                     blk = pc // 8
                     for bi in np.unique(blk):
                         sel = blk == bi
@@ -388,15 +414,21 @@ class BenchmarkSuite:
                             int(pr[sel].max() - pr[sel].min() + 1),
                         )
                     pats.append((id(b.features), r0, c0, pr, pc, nnz0))
-                self._fsai_width = width
+                self._fsai_width = ds_width
                 self._fsai_range_h = int(np.ceil(spread / 128) * 128)
                 self._fsai_pats = {p[0]: p[1:] for p in pats}
-            r0, c0, pr, pc, nnz0 = self._fsai_pats[key]
+            eff_width = self._fsai_width if width is None else width
+            if eff_width < self._fsai_width:
+                raise ValueError(
+                    f"model width {eff_width} smaller than dataset "
+                    f"pattern width {self._fsai_width}"
+                )
+            r0, c0, pr, pc, nnz0 = self._fsai_pats[id(batch.features)]
             scales0 = batch.scales[0]
             try:
                 plan = build_range_fsai_plan(
                     pr, pc, ell.n_pad,
-                    width=self._fsai_width,
+                    width=eff_width,
                     range_h=min(self._fsai_range_h, ell.n_pad),
                 )
                 # dense scaled A~ from host values (untimed input prep)
@@ -413,7 +445,7 @@ class BenchmarkSuite:
             except ValueError:
                 plan = build_fsai_plan(
                     r0, c0, pr, pc, ell.n_pad,
-                    width=self._fsai_width,
+                    width=eff_width,
                     sentinel=nnz0,
                 )
                 # hoist the device slices: per-call batch.features[0,:,0]
@@ -460,6 +492,44 @@ class BenchmarkSuite:
 
     def _setup_learned(self, a_sp, batch, ell, need_dense,
                        timing=False):
+        """Learned technique dispatch: conv families (dense/factor
+        apply) or NeuralFSAI (local solves + refinement MLP)."""
+        from deeppreconditioning_tpu.models.neural_fsai import NeuralFSAI
+
+        if isinstance(self.model, NeuralFSAI):
+            return self._setup_learned_neural_fsai(
+                a_sp, batch, ell, need_dense, timing
+            )
+        return self._setup_learned_conv(
+            a_sp, batch, ell, need_dense, timing
+        )
+
+    def _setup_learned_neural_fsai(self, a_sp, batch, ell, need_dense,
+                                   timing=False):
+        n0 = a_sp.shape[0]
+        if getattr(self, "_n0_cache", None) != n0:
+            self._n0_dev = jnp.int32(n0)
+            self._n0_cache = n0
+        kind, plan, operand, scales0 = self._fsai_plan(
+            batch, ell, width=self.model.width
+        )
+        m = _neural_fsai_setup_device(
+            self.model, self.params, plan, operand, scales0,
+            self._n0_dev, dtype=self.dtype,
+        )
+        if timing:
+            return dense_matvec, m, None, None
+        if need_dense:
+            m_np = np.asarray(m, np.float64)
+            m_sp = sp.csr_matrix(m_np[:n0, :n0])
+            dens = 100.0 * m_sp.nnz / (n0 * n0)
+        else:
+            m_sp = None
+            dens = float(jnp.count_nonzero(m)) * 100.0 / (n0 * n0)
+        return dense_matvec, m, dens, m_sp
+
+    def _setup_learned_conv(self, a_sp, batch, ell, need_dense,
+                            timing=False):
         """Learned technique, dense apply (z = M @ r, M = L L^T).
 
         Benchmark-size systems (n_pad ~ 1k) favor the dense apply on

@@ -35,10 +35,14 @@ from flax import linen as nn
 
 from deeppreconditioning_tpu.ops.fsai import (
     FSAIPlan,
+    RangeFSAIPlan,
     build_fsai_plan,
+    build_range_fsai_plan,
     fsai_dense_factor,
     fsai_values,
     pattern_col_width,
+    range_dense_factor,
+    range_fsai_columns,
     tril_power_pattern,
 )
 
@@ -47,9 +51,10 @@ class NeuralFSAI(nn.Module):
     """FSAI base + zero-init learned refinement (see module docstring).
 
     Call signature (single sample; vmap for batches):
-        plan: FSAIPlan with column width == self.width.
-        l0_vals: (nnz0_pad,) scaled tril(A) values (the dataset's
-            feature vector).
+        plan: FSAIPlan (operand = (nnz0_pad,) scaled tril values) or
+            RangeFSAIPlan (operand = dense scaled symmetric matrix —
+            the banded fast path, ops/fsai.py).  Column width must
+            equal self.width in both cases.
     Returns (n_pad, w) refined column values of C.
     """
 
@@ -57,10 +62,13 @@ class NeuralFSAI(nn.Module):
     hidden: int = 64
 
     @nn.compact
-    def __call__(self, plan: FSAIPlan, l0_vals: jax.Array) -> jax.Array:
+    def __call__(self, plan, operand: jax.Array) -> jax.Array:
         w = self.width
         assert plan.width == w, (plan.width, w)
-        c = fsai_values(plan, l0_vals)  # (n_pad, w)
+        if isinstance(plan, RangeFSAIPlan):
+            c = range_fsai_columns(plan, operand)  # (n_pad, w)
+        else:
+            c = fsai_values(plan, operand)
 
         pad = plan.diag_pad
         pos1h = jax.nn.one_hot(plan.pos, w, dtype=c.dtype)
@@ -85,22 +93,23 @@ class NeuralFSAI(nn.Module):
         return refined * live
 
 
-def batched_apply_fsai(model: NeuralFSAI, params, plans: FSAIPlan,
-                       l0_vals: jax.Array) -> jax.Array:
-    """vmap the model over a batch of stacked plans/value vectors."""
+def batched_apply_fsai(model: NeuralFSAI, params, plans,
+                       operands: jax.Array) -> jax.Array:
+    """vmap the model over a batch of stacked plans + operands
+    (value vectors for FSAIPlan, dense scaled A for RangeFSAIPlan)."""
     return jax.vmap(
         lambda p, v: model.apply(params, p, v)
-    )(plans, l0_vals)
+    )(plans, operands)
 
 
-def batched_dense_factor(plans: FSAIPlan, c_vals: jax.Array,
+def batched_dense_factor(plans, c_vals: jax.Array,
                          d_isqrt=None, n0=None) -> jax.Array:
-    """vmapped ops.fsai.fsai_dense_factor -> (B, n_pad, n_pad) dense C."""
+    """vmapped dense C build -> (B, n_pad, n_pad), plan-type dispatched."""
+    factor = (range_dense_factor
+              if isinstance(plans, RangeFSAIPlan) else fsai_dense_factor)
     if d_isqrt is None:
-        return jax.vmap(
-            lambda p, c: fsai_dense_factor(p, c)
-        )(plans, c_vals)
-    return jax.vmap(fsai_dense_factor)(plans, c_vals, d_isqrt, n0)
+        return jax.vmap(lambda p, c: factor(p, c))(plans, c_vals)
+    return jax.vmap(factor)(plans, c_vals, d_isqrt, n0)
 
 
 def stack_fsai_plans(plans: Sequence[FSAIPlan]) -> FSAIPlan:
@@ -117,10 +126,13 @@ class FSAIPlanProvider:
     plans (built once, reused every epoch).
     """
 
-    def __init__(self, dataset, power: int = 3, width: int = 16):
+    def __init__(self, dataset, power: int = 3, width: int = 16,
+                 range_h: int = 256, kind: str = "auto"):
         self.dataset = dataset
         self.power = power
         self.width = width
+        self.range_h = range_h
+        self.kind = kind  # "auto" | "range" | "generic"
         self._cache: dict = {}
 
     def _sample_plan(self, rows, cols, valid, n_pad, sentinel):
@@ -133,6 +145,21 @@ class FSAIPlanProvider:
             raise ValueError(
                 f"fsai pattern width {need} exceeds configured width "
                 f"{self.width}; raise params fsai_width"
+            )
+        if self.kind == "auto":
+            try:
+                plan = build_range_fsai_plan(
+                    pr, pc, n_pad, width=self.width,
+                    range_h=min(self.range_h, n_pad),
+                )
+                self.kind = "range"
+                return plan
+            except ValueError:
+                self.kind = "generic"
+        if self.kind == "range":
+            return build_range_fsai_plan(
+                pr, pc, n_pad, width=self.width,
+                range_h=min(self.range_h, n_pad),
             )
         return build_fsai_plan(
             r0, c0, pr, pc, n_pad, width=self.width, sentinel=sentinel

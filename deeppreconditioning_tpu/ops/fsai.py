@@ -447,36 +447,10 @@ def fsai_values_range(plan: RangeFSAIPlan, a_dense: jax.Array
 
     ``a_dense`` is the dense *scaled* symmetric matrix — an input-data
     representation (like the solver's ELL form), prepared once per case
-    outside the preconditioner-setup timing.
+    outside the preconditioner-setup timing.  Alias of
+    ``range_fsai_columns`` (the dot_general implementation).
     """
-    n_pad = plan.n_pad
-    h = plan.range_h
-    w = plan.width
-    jb = plan.block_cols
-    b = n_pad // jb
-    dtype = a_dense.dtype
-
-    # B diagonal slabs (one XLA gather of large slices)
-    slabs = jax.vmap(
-        lambda lo: jax.lax.dynamic_slice(a_dense, (lo, lo), (h, h))
-    )(plan.lo)  # (B, H, H)
-
-    one_hot = plan.one_hot.astype(dtype).reshape(b, jb, h, w)
-    # T[b, j] = R_b @ E_j : contraction over the row range (MXU, H-dims)
-    t = jnp.einsum("bgh,bjhw->bjgw", slabs, one_hot)
-    # sub[b, j] = E_j^T (R_b E_j)
-    sub = jnp.einsum("bjhw,bjhv->bjwv", one_hot, t)
-    sub = sub.reshape(n_pad, w, w)
-    pad = plan.diag_pad
-    live = 1.0 - pad
-    sub = sub * live[:, :, None] * live[:, None, :]
-    sub = sub + jnp.eye(w, dtype=dtype) * pad[:, :, None]
-
-    e = jax.nn.one_hot(plan.pos, w, dtype=dtype)
-    y = _masked_gauss_jordan(sub, e)
-    y_pos = jnp.take_along_axis(y, plan.pos[:, None], axis=1)[:, 0]
-    c = y / jnp.sqrt(jnp.maximum(y_pos, 1e-30))[:, None]
-    return jnp.where(plan.out_rows < n_pad, c, 0.0)
+    return range_fsai_columns(plan, a_dense)
 
 
 def range_dense_factor(plan: RangeFSAIPlan, c_vals: jax.Array,
@@ -528,58 +502,16 @@ def fsai_dense_preconditioner_range(
     (lo_b, lo_b) — a fori_loop of dynamic-slab updates over B blocks
     instead of an n^3 C C^T matmul plus a 64 MB placement one-hot.
     """
-    n_pad = plan.n_pad
-    h = plan.range_h
-    w = plan.width
-    jb = plan.block_cols
-    b = n_pad // jb
     a_dense = a_dense.astype(dtype)
-
-    c_local = _range_local_values(plan, a_dense)  # (B, JB, H) strips
-    if d_isqrt is not None:
-        # C_raw[i, j] = d_isqrt[i] * C[i, j]: row scaling hits the
-        # strip's local rows [lo_b, lo_b + H)
-        d = d_isqrt.astype(dtype)
-        d_strips = jax.vmap(
-            lambda lo: jax.lax.dynamic_slice(d, (lo,), (h,))
-        )(plan.lo)  # (B, H); lo <= n_pad - H by construction
-        c_local = c_local * d_strips[:, None, :]
-    if n0 is not None:
-        # zero columns >= n0 and strip rows >= n0
-        col_ids = jnp.arange(n_pad).reshape(b, jb)
-        c_local = jnp.where(
-            (col_ids < n0)[:, :, None], c_local, 0.0
-        )
-        row_ids = plan.lo[:, None] + jnp.arange(h)[None, :]
-        c_local = jnp.where(
-            (row_ids < n0)[:, None, :], c_local, 0.0
-        )
-
-    # G_b = strips_b^T-free: (H, JB) @ (JB, H) per block
-    g = jax.lax.dot_general(
-        c_local, c_local,
-        (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=dtype,
-    )  # (B, H, H)
-
-    def add_slab(i, m):
-        lo = plan.lo[i]
-        cur = jax.lax.dynamic_slice(m, (lo, lo), (h, h))
-        return jax.lax.dynamic_update_slice(m, cur + g[i], (lo, lo))
-
-    m = jax.lax.fori_loop(
-        0, b, add_slab, jnp.zeros((n_pad, n_pad), dtype)
-    )
-    return m
+    c_vals = range_fsai_columns(plan, a_dense)
+    strips = range_strips(plan, c_vals)
+    return range_m_from_strips(plan, strips, d_isqrt, n0)
 
 
-def _range_local_values(plan: RangeFSAIPlan, a_dense: jax.Array
-                        ) -> jax.Array:
-    """FSAI column values in block-local strip form (B, JB, H).
-
-    Strip [b, jj, h] = C[lo_b + h, b*JB + jj] — the contiguous-support
-    representation the range-blocked assembly consumes.
-    """
+def range_fsai_columns(plan: RangeFSAIPlan, a_dense: jax.Array
+                       ) -> jax.Array:
+    """FSAI column values (n_pad, w) via the range-blocked fast path —
+    semantically identical to ``fsai_values`` on the same pattern."""
     n_pad = plan.n_pad
     h = plan.range_h
     w = plan.width
@@ -620,15 +552,70 @@ def _range_local_values(plan: RangeFSAIPlan, a_dense: jax.Array
     y = _masked_gauss_jordan(sub, e)
     y_pos = jnp.take_along_axis(y, plan.pos[:, None], axis=1)[:, 0]
     c = y / jnp.sqrt(jnp.maximum(y_pos, 1e-30))[:, None]
-    c = jnp.where(plan.out_rows < n_pad, c, 0.0)  # (n_pad, w)
+    return jnp.where(plan.out_rows < n_pad, c, 0.0)  # (n_pad, w)
 
-    # to strips: strip[j, h] = sum_k c[j, k] O[j, h, k]
+
+def range_strips(plan: RangeFSAIPlan, c_vals: jax.Array) -> jax.Array:
+    """Column values (n_pad, w) -> block-local strips (B, JB, H):
+    strip[b, jj, h] = C[lo_b + h, b*JB + jj]."""
+    n_pad = plan.n_pad
+    h = plan.range_h
+    w = plan.width
+    jb = plan.block_cols
+    b = n_pad // jb
+    dtype = c_vals.dtype
+    oh = plan.one_hot.astype(dtype)
     strips = jax.lax.dot_general(
-        oh.reshape(n_pad, h, w), c[:, :, None],
+        oh.reshape(n_pad, h, w), c_vals[:, :, None],
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=dtype,
     )[..., 0]  # (n_pad, H)
     return strips.reshape(b, jb, h)
+
+
+def range_m_from_strips(
+    plan: RangeFSAIPlan,
+    strips: jax.Array,
+    d_isqrt: Optional[jax.Array] = None,
+    n0: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Dense M = C C^T from block-local strips (slab-wise assembly)."""
+    n_pad = plan.n_pad
+    h = plan.range_h
+    jb = plan.block_cols
+    b = n_pad // jb
+    dtype = strips.dtype
+    c_local = strips
+    if d_isqrt is not None:
+        d = d_isqrt.astype(dtype)
+        d_strips = jax.vmap(
+            lambda lo: jax.lax.dynamic_slice(d, (lo,), (h,))
+        )(plan.lo)  # (B, H); lo <= n_pad - H by construction
+        c_local = c_local * d_strips[:, None, :]
+    if n0 is not None:
+        col_ids = jnp.arange(n_pad).reshape(b, jb)
+        c_local = jnp.where(
+            (col_ids < n0)[:, :, None], c_local, 0.0
+        )
+        row_ids = plan.lo[:, None] + jnp.arange(h)[None, :]
+        c_local = jnp.where(
+            (row_ids < n0)[:, None, :], c_local, 0.0
+        )
+
+    g = jax.lax.dot_general(
+        c_local, c_local,
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=dtype,
+    )  # (B, H, H)
+
+    def add_slab(i, m):
+        lo = plan.lo[i]
+        cur = jax.lax.dynamic_slice(m, (lo, lo), (h, h))
+        return jax.lax.dynamic_update_slice(m, cur + g[i], (lo, lo))
+
+    return jax.lax.fori_loop(
+        0, b, add_slab, jnp.zeros((n_pad, n_pad), dtype)
+    )
 
 
 # -- host reference (tests / data generation) --------------------------------

@@ -181,6 +181,16 @@ def validate(model, params, dataset, logger: MetricsLogger | None = None,
 
 # -- NeuralFSAI training path (framework extension; models/neural_fsai) -----
 
+def _fsai_operands(plans, feats, a_tril):
+    """Model operand per plan type: dense scaled A for RangeFSAIPlan
+    (banded fast path), tril value vectors otherwise."""
+    from deeppreconditioning_tpu.ops.fsai import RangeFSAIPlan
+
+    if isinstance(plans, RangeFSAIPlan):
+        return metrics_lib.symmetrize_tril(a_tril)
+    return feats
+
+
 @partial(jax.jit, static_argnames=("model", "tx", "loss"))
 def fsai_train_step(model, tx, state: TrainState, plans, feats,
                     a_tril, loss: str = "inverse_loss"):
@@ -190,9 +200,10 @@ def fsai_train_step(model, tx, state: TrainState, plans, feats,
         batched_apply_fsai,
         batched_dense_factor,
     )
+    operands = _fsai_operands(plans, feats, a_tril)
 
     def loss_fn(p):
-        c_vals = batched_apply_fsai(model, p, plans, feats)
+        c_vals = batched_apply_fsai(model, p, plans, operands)
         c_dense = batched_dense_factor(plans, c_vals)
         if loss == "kaporin_loss":
             return metrics_lib.kaporin_loss(a_tril, c_dense)
@@ -215,7 +226,8 @@ def _fsai_validate_device(model, params, plans, feats, a_tril,
         batched_apply_fsai,
         batched_dense_factor,
     )
-    c_vals = batched_apply_fsai(model, params, plans, feats)
+    operands = _fsai_operands(plans, feats, a_tril)
+    c_vals = batched_apply_fsai(model, params, plans, operands)
     c_dense = batched_dense_factor(plans, c_vals)
     loss = metrics_lib.inverse_loss(a_tril, c_dense)
     a_full = metrics_lib.symmetrize_tril(a_tril)
@@ -242,6 +254,9 @@ def train_neural_fsai(
     metrics_dir: Path | str = Path("assets/metrics_fsai"),
     seed: int = 69,
     loss: str = "inverse_loss",
+    select_by: str = "loss",  # "loss" | "iterations": which validation
+    # metric picks best.msgpack (CG iterations is the deployed metric;
+    # val loss is the reference's criterion, train.py:180)
 ) -> TrainState:
     """Training loop for the NeuralFSAI model family (train.py:139-190
     protocol: Adam, 95/5 split handled by the caller, early stopping,
@@ -252,8 +267,11 @@ def train_neural_fsai(
     batch0 = train_set[0]
     plans0 = plan_provider(0, batch0)
     sample_plan = jax.tree.map(lambda x: x[0], plans0)
+    operand0 = _fsai_operands(
+        plans0, batch0.features[:, :, 0], batch0.systems.to_dense()
+    )[0]
     params = model.init(
-        jax.random.PRNGKey(seed), sample_plan, batch0.features[0, :, 0]
+        jax.random.PRNGKey(seed), sample_plan, operand0
     )
     state = TrainState(params, tx.init(params), jnp.int32(0))
 
@@ -269,6 +287,7 @@ def train_neural_fsai(
             "step": int(state.step),
             "width": model.width,
             "hidden": model.hidden,
+            "power": int(getattr(plan_provider, "power", 0)),
         }
         path.write_bytes(serialization.to_bytes(payload))
 
@@ -298,16 +317,17 @@ def train_neural_fsai(
         val_loss = float(np.mean(v_losses))
         val_duration = (time.perf_counter() - start) / max(len(val_set), 1)
 
+        val_iters = float(np.mean(v_iters))
         logger.log_metric("train/loss/inverse", train_loss)
         logger.log_metric("val/loss/inverse", val_loss)
         logger.log_metric("val/metric/durations", val_duration)
-        logger.log_metric("val/metric/iterations",
-                          float(np.mean(v_iters)))
+        logger.log_metric("val/metric/iterations", val_iters)
         logger.next_step()
 
         _ckpt(checkpoint_dir / "latest.msgpack", state)
-        if val_loss < best_val:
-            best_val = val_loss
+        criterion = val_iters if select_by == "iterations" else val_loss
+        if criterion < best_val:
+            best_val = criterion
             _ckpt(checkpoint_dir / "best.msgpack", state)
 
         if stopper(val_loss):

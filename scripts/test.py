@@ -45,13 +45,21 @@ def main() -> None:
         root=Path(params.data_root),
     )
 
-    model_cls = get_model_class(params.model)
-    model = model_cls(channels=tuple(params.channels))
     ckpt_path = args.checkpoint or (
         Path(params.checkpoint_dir) / "best.msgpack"
     )
     payload = load_checkpoint(ckpt_path)
     model_params = payload["params"]
+    if params.model == "NeuralFSAI":
+        from deeppreconditioning_tpu.models import NeuralFSAI
+
+        model = NeuralFSAI(
+            width=int(payload["width"]),
+            hidden=int(payload.get("hidden", 64)),
+        )
+    else:
+        model_cls = get_model_class(params.model)
+        model = model_cls(channels=tuple(params.channels))
 
     if args.techniques == "all":
         techniques = ("vanilla", "jacobi", "incomplete_cholesky",
@@ -59,6 +67,9 @@ def main() -> None:
                       "learned")
     else:
         techniques = tuple(args.techniques.split(","))
+    suite_kwargs = {}
+    if params.model == "NeuralFSAI":
+        suite_kwargs["fsai_power"] = int(payload.get("power", 4)) or 4
     suite = BenchmarkSuite(
         data_set,
         model,
@@ -66,6 +77,7 @@ def main() -> None:
         techniques=techniques,
         kappa_cases=args.kappa_cases,
         results_directory=Path(params.results_dir),
+        **suite_kwargs,
     )
     suite.run(verbose=args.verbose)
     suite.dump_csv()

@@ -12,6 +12,7 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(1, str(Path(__file__).resolve().parent))
 
 from deeppreconditioning_tpu.config import (  # noqa: E402
     get_dataset_class,
@@ -40,6 +41,12 @@ class _SubsetView:
 
 def main() -> None:
     params = params_show()
+    if params.model == "NeuralFSAI":
+        # the NeuralFSAI family trains over FSAI plans, not conv plans
+        import train_fsai
+
+        train_fsai.main()
+        return
     parser = argparse.ArgumentParser()
     parser.add_argument("--max-epochs", type=int,
                         default=params.max_epochs)

@@ -57,9 +57,19 @@ def main() -> None:
                         default=params.extra.get("fsai_power", 3))
     parser.add_argument("--lr", type=float,
                         default=params.learning_rate / 10)
-    parser.add_argument("--checkpoint-dir",
-                        default="assets/checkpoints_fsai")
-    parser.add_argument("--metrics-dir", default="assets/metrics_fsai")
+    is_flagship = params.model == "NeuralFSAI"
+    parser.add_argument(
+        "--checkpoint-dir",
+        default=(params.checkpoint_dir if is_flagship
+                 else "assets/checkpoints_fsai"),
+    )
+    parser.add_argument(
+        "--metrics-dir",
+        default=(params.metrics_dir if is_flagship
+                 else "assets/metrics_fsai"),
+    )
+    parser.add_argument("--select-by", default="iterations",
+                        choices=["loss", "iterations"])
     args = parser.parse_args()
 
     specs = plan_builder_for("NeuralFSAI", None)
@@ -87,6 +97,7 @@ def main() -> None:
         metrics_dir=Path(args.metrics_dir),
         seed=params.seed,
         loss=args.loss,
+        select_by=args.select_by,
     )
     print("final step:", int(state.step))
 

@@ -56,6 +56,45 @@ def test_suite_runs_all_techniques(tmp_path):
                       "durations,totals,successes")
 
 
+def test_suite_learned_neural_fsai_branch():
+    """The learned technique with a NeuralFSAI model runs through the
+    suite and, untrained (zero-init refinement), matches the classical
+    fsai technique's iteration counts exactly."""
+    import jax
+    from deeppreconditioning_tpu.models import (
+        FSAIPlanProvider,
+        NeuralFSAI,
+    )
+    from deeppreconditioning_tpu.train.trainer import _fsai_operands
+
+    specs = precond_net_specs((1, 1, 1))
+    ds = RandomSPDDataSet(
+        "train", dof=40, batch_size=1, specs=specs, sparsity=0.85,
+        length=2, seed=1, shuffle=False,
+    )
+    width = 40
+    provider = FSAIPlanProvider(ds, power=2, width=width)
+    model = NeuralFSAI(width=width, hidden=8)
+    batch = ds[0]
+    plans = provider(0, batch)
+    operands = _fsai_operands(
+        plans, batch.features[:, :, 0], batch.systems.to_dense()
+    )
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jax.tree.map(lambda x: x[0], plans), operands[0],
+    )
+    suite = BenchmarkSuite(
+        ds, model, params,
+        techniques=("vanilla", "fsai", "learned"),
+        timing_reps=1, kappa_cases=0, fsai_power=2,
+    )
+    suite.run()
+    s = suite.summary()
+    assert s["learned"]["success"] == 100.0
+    assert s["learned"]["iterations"] == s["fsai"]["iterations"]
+
+
 def test_suite_fsai_matches_scipy_reference():
     """The suite's scaled-then-folded FSAI equals FSAI computed directly
     on the raw system (scaling covariance)."""

@@ -18,6 +18,7 @@ from deeppreconditioning_tpu.models.neural_fsai import (
 from deeppreconditioning_tpu.ops.fsai import fsai_values
 from deeppreconditioning_tpu.train.trainer import (
     TrainState,
+    _fsai_operands,
     fsai_train_step,
     _fsai_validate_device,
 )
@@ -33,29 +34,34 @@ def _setup(dof=32, batch_size=2, width=32, power=2):
     model = NeuralFSAI(width=width, hidden=16)
     batch = ds[0]
     plans = provider(0, batch)
+    operands = _fsai_operands(
+        plans, batch.features[:, :, 0], batch.systems.to_dense()
+    )
     sample_plan = jax.tree.map(lambda x: x[0], plans)
     params = model.init(
-        jax.random.PRNGKey(0), sample_plan, batch.features[0, :, 0]
+        jax.random.PRNGKey(0), sample_plan, operands[0]
     )
-    return ds, provider, model, params, batch, plans
+    return ds, provider, model, params, batch, plans, operands
 
 
 def test_zero_init_equals_fsai():
-    ds, provider, model, params, batch, plans = _setup()
-    c_model = batched_apply_fsai(
-        model, params, plans, batch.features[:, :, 0]
+    ds, provider, model, params, batch, plans, operands = _setup()
+    from deeppreconditioning_tpu.ops.fsai import (
+        RangeFSAIPlan, range_fsai_columns,
     )
-    c_base = jax.vmap(fsai_values)(plans, batch.features[:, :, 0])
+    c_model = batched_apply_fsai(model, params, plans, operands)
+    base = (range_fsai_columns if isinstance(plans, RangeFSAIPlan)
+            else fsai_values)
+    c_base = jax.vmap(base)(plans, operands)
     np.testing.assert_allclose(
         np.asarray(c_model), np.asarray(c_base), atol=1e-12
     )
 
 
 def test_spd_and_preconditioning_quality():
-    ds, provider, model, params, batch, plans = _setup()
+    ds, provider, model, params, batch, plans, operands = _setup()
     c_dense = np.asarray(batched_dense_factor(
-        plans, batched_apply_fsai(model, params, plans,
-                                  batch.features[:, :, 0])
+        plans, batched_apply_fsai(model, params, plans, operands)
     ))
     from deeppreconditioning_tpu.metrics import symmetrize_tril
     a_full = np.asarray(symmetrize_tril(batch.systems.to_dense()))
@@ -69,7 +75,7 @@ def test_spd_and_preconditioning_quality():
 
 
 def test_train_step_reduces_loss_and_stays_spd():
-    ds, provider, model, params, batch, plans = _setup()
+    ds, provider, model, params, batch, plans, operands = _setup()
     # fine-tuning from the FSAI optimum needs a small step: the exp-scale
     # refinement overshoots at the conv-net default 1e-3
     tx = optax.adam(1e-4)
@@ -95,12 +101,12 @@ def test_train_step_reduces_loss_and_stays_spd():
 def test_kaporin_gradient_is_zero_at_init():
     """FSAI is the Kaporin optimum on the pattern, so the Kaporin-loss
     gradient of the zero-initialized model must vanish."""
-    ds, provider, model, params, batch, plans = _setup()
+    ds, provider, model, params, batch, plans, operands = _setup()
     from deeppreconditioning_tpu.metrics import kaporin_loss
 
     def loss_fn(p):
         c_vals = batched_apply_fsai(
-            model, p, plans, batch.features[:, :, 0].astype(jnp.float64)
+            model, p, plans, operands.astype(jnp.float64)
         )
         c_dense = batched_dense_factor(plans, c_vals)
         return kaporin_loss(
