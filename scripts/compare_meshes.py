@@ -31,6 +31,65 @@ from deeppreconditioning_tpu.models import plan_builder_for  # noqa: E402
 from deeppreconditioning_tpu.train.trainer import load_checkpoint  # noqa: E402
 
 
+def _scaled_tril(a):
+    """Jacobi-scale + tril + (row, col) sort — the dataset transform."""
+    n = a.shape[0]
+    coo = a.tocoo()
+    keep = coo.row >= coo.col
+    rows, cols, vals = coo.row[keep], coo.col[keep], coo.data[keep]
+    diag = a.diagonal()
+    d_isqrt = 1.0 / np.sqrt(diag)
+    vals = vals * d_isqrt[rows] * d_isqrt[cols]
+    order = np.argsort(rows.astype(np.int64) * n + cols)
+    return (rows[order].astype(np.int32), cols[order].astype(np.int32),
+            vals[order], d_isqrt)
+
+
+def _kappa_for_case_fsai(case, model, params, power):
+    """NeuralFSAI flagship branch: per-case FSAI plan at the trained
+    width (the model is per-row local, so it applies to any matrix
+    size whose pattern fits the width)."""
+    import jax.numpy as jnp
+
+    from deeppreconditioning_tpu.ops.fsai import (
+        build_fsai_plan,
+        pattern_col_width,
+        tril_power_pattern,
+    )
+
+    a = case.matrix.tocsr()
+    n = a.shape[0]
+    kappa_pre = float(np.linalg.cond(a.toarray()))
+
+    rows, cols, vals, d_isqrt = _scaled_tril(a)
+    n_pad = ((n + 127) // 128) * 128
+    # identity padding rows (the dataset's 1*x = 1 trivial equations)
+    pad_ids = np.arange(n, n_pad, dtype=np.int32)
+    l0_rows = np.concatenate([rows, pad_ids])
+    l0_cols = np.concatenate([cols, pad_ids])
+    l0_vals = np.concatenate([vals, np.ones(n_pad - n)])
+    order = np.argsort(l0_rows.astype(np.int64) * n_pad + l0_cols)
+    l0_rows, l0_cols = l0_rows[order], l0_cols[order]
+    l0_vals = l0_vals[order].astype(np.float32)
+
+    pr, pc = tril_power_pattern(l0_rows, l0_cols, n_pad, power=power)
+    need = pattern_col_width(pr, pc)
+    if need > model.width:
+        print(f"  skip: pattern width {need} > trained {model.width}")
+        return kappa_pre, float("nan")
+    plan = build_fsai_plan(
+        l0_rows, l0_cols, pr, pc, n_pad, width=model.width
+    )
+    c_vals = model.apply(params, plan, jnp.asarray(l0_vals))
+    from deeppreconditioning_tpu.ops.fsai import fsai_dense_factor
+
+    c = np.asarray(fsai_dense_factor(plan, c_vals)).astype(np.float64)
+    a_tilde = a.toarray() * np.outer(d_isqrt, d_isqrt)
+    m = (c @ c.T)[:n, :n]
+    kappa_post = float(np.linalg.cond(m @ a_tilde))
+    return kappa_pre, kappa_post
+
+
 def _kappa_for_case(case, model, params, builder):
     """kappa(A) and kappa(M~ A~) for one case (host f64 + device fwd)."""
     import jax
@@ -95,22 +154,38 @@ def main() -> None:
                         / "compare_meshes.csv")
     args = parser.parse_args()
 
-    model = get_model_class(params.model)(
-        channels=tuple(params.channels)
-    )
-    builder = plan_builder_for(params.model, params.channels)
     payload = load_checkpoint(
         Path(params.checkpoint_dir) / "best.msgpack"
     )
+    is_fsai = params.model == "NeuralFSAI"
+    if is_fsai:
+        from deeppreconditioning_tpu.models import NeuralFSAI
+
+        model = NeuralFSAI(
+            width=int(payload["width"]),
+            hidden=int(payload.get("hidden", 64)),
+        )
+        power = int(payload.get("power", 4)) or 4
+        builder = None
+    else:
+        model = get_model_class(params.model)(
+            channels=tuple(params.channels)
+        )
+        builder = plan_builder_for(params.model, params.channels)
 
     rng = np.random.default_rng(69)  # compare_meshes.py:20 seed parity
     rows_out = []
     for mesh_cells in range(2, 7):  # compare_meshes.py resolutions 2..6
         for _ in range(args.cases_per_resolution):
             case = generate_sludge_case(rng, mesh_cells=mesh_cells)
-            pre, post = _kappa_for_case(
-                case, model, payload["params"], builder
-            )
+            if is_fsai:
+                pre, post = _kappa_for_case_fsai(
+                    case, model, payload["params"], power
+                )
+            else:
+                pre, post = _kappa_for_case(
+                    case, model, payload["params"], builder
+                )
             rows_out.append({
                 "mesh_cells": mesh_cells,
                 "dof": case.matrix.shape[0],
