@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 REPO = Path(__file__).resolve().parent
 
 
-def _ensure_dataset(root: Path, samples: int = 100) -> None:
+def _ensure_dataset(root: Path, samples: int = 500) -> None:
     out = root / "sludge_patterns"
     if out.exists() and len(list(out.glob("case_*"))) >= samples:
         return
@@ -112,8 +112,8 @@ def main() -> None:
     data_set = SludgePatternDataSet(
         stage="test", batch_size=1, specs=specs, shuffle=False, root=root
     )
-    # bound the sweep so bench stays O(minutes)
-    data_set._host = data_set._host[:20]
+    # full reference-protocol test split: 100 of 500 cases
+    # (reference params.yaml:3 + data_set.py:40-46 80/20 split)
 
     ckpt = REPO / params.checkpoint_dir / "best.msgpack"
     model_params = None
@@ -126,6 +126,7 @@ def main() -> None:
             model = NeuralFSAI(
                 width=int(payload["width"]),
                 hidden=int(payload.get("hidden", 64)),
+                poly_degree=int(payload.get("poly_degree", 1)),
             )
             model_params = payload["params"]
     else:
@@ -142,8 +143,9 @@ def main() -> None:
     )
     suite_kwargs = {}
     if params.model == "NeuralFSAI" and model_params is not None:
-        # the learned plan pattern must match the training pattern
-        suite_kwargs["fsai_power"] = int(payload.get("power", 4)) or 4
+        # the learned plan pattern must match the training pattern; the
+        # classical fsai baseline stays at its own total-time optimum
+        suite_kwargs["learned_power"] = int(payload.get("power", 4)) or 4
     suite = BenchmarkSuite(
         data_set, model, model_params,
         techniques=techniques,

@@ -142,24 +142,15 @@ def _fsai_range_setup_device(plan, a_dense, scales, n0,
 def _neural_fsai_setup_device(model, params, plan, operand, scales, n0,
                               dtype=jnp.float32):
     """Learned setup for the NeuralFSAI family: base local solves +
-    refinement MLP -> M = C C^T with scaling fold and padding mask (the
-    factor analog of _learned_setup_device)."""
-    from deeppreconditioning_tpu.ops.fsai import (
-        RangeFSAIPlan,
-        fsai_dense_factor,
-        range_m_from_strips,
-        range_strips,
+    refinement MLP + learned polynomial wrap -> dense effective M on the
+    raw system (models/neural_fsai.neural_fsai_dense_preconditioner)."""
+    from deeppreconditioning_tpu.models.neural_fsai import (
+        neural_fsai_dense_preconditioner,
     )
 
-    c_vals = model.apply(params, plan, operand.astype(dtype))
-    d_isqrt = 1.0 / jnp.sqrt(scales.astype(dtype))
-    if isinstance(plan, RangeFSAIPlan):
-        strips = range_strips(plan, c_vals)
-        return range_m_from_strips(plan, strips, d_isqrt, n0)
-    c = fsai_dense_factor(plan, c_vals, d_isqrt, n0)
-    m = c @ c.T
-    mask = jnp.arange(plan.n_pad) < n0
-    return jnp.where(mask[:, None] & mask[None, :], m, 0.0)
+    return neural_fsai_dense_preconditioner(
+        model, params, plan, operand, scales, n0, dtype=dtype
+    )
 
 
 def _tri_apply(md, r):
@@ -199,6 +190,10 @@ class BenchmarkSuite:
     # measured total-time sweet spot on the FVM suite (23 iters at a
     # dispatch-floor setup; power 5 trades 4 fewer iters for +0.4 ms
     # setup, power 3 runs 5 more iters)
+    learned_power: int = 0  # pattern power of the NeuralFSAI learned
+    # technique (its training-time choice, baked into the checkpoint);
+    # 0 -> same as fsai_power.  Kept separate so the classical fsai
+    # baseline always runs at its own total-time optimum.
     check_every: int = 8  # CG chunk length: solves are quantized to
     # chunk boundaries (masked fixed-trip iterations), so strong
     # preconditioners benefit from finer chunks; 8 is best for the
@@ -380,7 +375,38 @@ class BenchmarkSuite:
         return cache[key]
 
     # -- FSAI (TPU-native extension; ops/fsai.py) -------------------------
-    def _fsai_plan(self, batch, ell, width=None):
+    def _fsai_meta(self, ell, power):
+        """Dataset-global pattern metadata for one pattern power:
+        (static column width, range height, per-case pattern dict)."""
+        cache = getattr(self, "_fsai_meta_cache", None)
+        if cache is None:
+            cache = self._fsai_meta_cache = {}
+        if power not in cache:
+            ds_width, spread = 1, 1
+            pats = []
+            for index in range(len(self.data_set)):
+                b = self.data_set[index]
+                r0, c0, nnz0 = self._l0_sites(b)
+                pr, pc = tril_power_pattern(
+                    r0, c0, ell.n_pad, power=power
+                )
+                ds_width = max(ds_width, pattern_col_width(pr, pc))
+                blk = pc // 8
+                for bi in np.unique(blk):
+                    sel = blk == bi
+                    spread = max(
+                        spread,
+                        int(pr[sel].max() - pr[sel].min() + 1),
+                    )
+                pats.append((id(b.features), r0, c0, pr, pc, nnz0))
+            cache[power] = (
+                ds_width,
+                int(np.ceil(spread / 128) * 128),
+                {p[0]: p[1:] for p in pats},
+            )
+        return cache[power]
+
+    def _fsai_plan(self, batch, ell, width=None, power=None):
         """Per-case FSAI plan + untimed input artifacts.
 
         Pattern plans and the dense scaled-matrix form are dataset-level
@@ -388,42 +414,33 @@ class BenchmarkSuite:
         built outside the timed setup.  Returns
         (kind, plan, operand, scales): kind "range" (banded fast path,
         operand = dense scaled A) or "generic" (operand = l0 values).
-        ``width`` overrides the dataset-global column width (a trained
-        NeuralFSAI bakes its width into its parameters)."""
-        key = (id(batch.features), width)
+        ``width`` overrides the dataset-global column width and ``power``
+        the pattern power (a trained NeuralFSAI bakes both into its
+        parameters)."""
+        power = self.fsai_power if power is None else power
+        key = (id(batch.features), width, power)
         cache = getattr(self, "_fsai_cache", None)
         if cache is None:
-            cache = self._fsai_cache = {}
-        if key not in cache:
-            if getattr(self, "_fsai_width", None) is None:
-                # dataset-global static width/range -> compiled once
-                ds_width, spread = 1, 1
-                pats = []
-                for index in range(len(self.data_set)):
-                    b = self.data_set[index]
-                    r0, c0, nnz0 = self._l0_sites(b)
-                    pr, pc = tril_power_pattern(
-                        r0, c0, ell.n_pad, power=self.fsai_power
-                    )
-                    ds_width = max(ds_width, pattern_col_width(pr, pc))
-                    blk = pc // 8
-                    for bi in np.unique(blk):
-                        sel = blk == bi
-                        spread = max(
-                            spread,
-                            int(pr[sel].max() - pr[sel].min() + 1),
-                        )
-                    pats.append((id(b.features), r0, c0, pr, pc, nnz0))
-                self._fsai_width = ds_width
-                self._fsai_range_h = int(np.ceil(spread / 128) * 128)
-                self._fsai_pats = {p[0]: p[1:] for p in pats}
-            eff_width = self._fsai_width if width is None else width
-            if eff_width < self._fsai_width:
+            # bounded LRU: a RangeFSAIPlan one-hot is O(n_pad*H*w) —
+            # tens of MB of HBM per case; plans are only reused within
+            # one case's timing reps, so keep the last few, not all
+            from collections import OrderedDict
+
+            cache = self._fsai_cache = OrderedDict()
+        if key in cache:
+            cache.move_to_end(key)
+        else:
+            while len(cache) >= 4:
+                cache.popitem(last=False)
+            ds_width, range_h, pats = self._fsai_meta(ell, power)
+            eff_width = ds_width if width is None else width
+            if eff_width < ds_width:
                 raise ValueError(
                     f"model width {eff_width} smaller than dataset "
-                    f"pattern width {self._fsai_width}"
+                    f"pattern width {ds_width}"
                 )
-            r0, c0, pr, pc, nnz0 = self._fsai_pats[id(batch.features)]
+            self._fsai_range_h = range_h
+            r0, c0, pr, pc, nnz0 = pats[id(batch.features)]
             scales0 = batch.scales[0]
             try:
                 plan = build_range_fsai_plan(
@@ -511,7 +528,8 @@ class BenchmarkSuite:
             self._n0_dev = jnp.int32(n0)
             self._n0_cache = n0
         kind, plan, operand, scales0 = self._fsai_plan(
-            batch, ell, width=self.model.width
+            batch, ell, width=self.model.width,
+            power=self.learned_power or None,
         )
         m = _neural_fsai_setup_device(
             self.model, self.params, plan, operand, scales0,

@@ -104,6 +104,54 @@ def condition_loss(
     return (sigmas.max(axis=1) / sigmas.min(axis=1)).mean()
 
 
+def pcg_residual_loss(
+    systems_tril_dense: jax.Array,  # (B, n, n) lower-triangular A part
+    m_dense: jax.Array,  # (B, n, n) dense SPD preconditioner M ~= A^-1
+    right_hand_sides: jax.Array,  # (B, n)
+    k_steps: int = 16,
+    floor: float = 1e-12,
+) -> jax.Array:
+    """Mean log squared relative residual after ``k_steps`` of PCG.
+
+    A differentiable proxy for the *deployed* metric — the CG iteration
+    count under the reference's stopping rule ``r.r/b.b < 1e-8``
+    (cg.py:15-20) — obtained by unrolling k fixed PCG steps (the exact
+    update order of cg.py:70-87) and taking ``log(r_k.r_k / b.b)``.
+    Minimizing it maximizes the per-iteration residual contraction of
+    M A, which the spectral-surrogate losses (inverse/kaporin) only
+    bound.  The log keeps gradients balanced across samples whose
+    residuals span decades; ``floor`` guards the log once a sample
+    converges to f32 noise within k steps.
+
+    All operands live in the dataset's scaled space (unit-diagonal
+    A~) — iteration counts there track the raw-system counts used by
+    the benchmark (similarity transform; bench/suite._reconstruct).
+    """
+    a = symmetrize_tril(systems_tril_dense)
+    b = right_hand_sides
+    bb = jnp.maximum(jnp.sum(b * b, axis=1), 1e-30)
+
+    def body(state, _):
+        x, r, z, p = state
+        ap = jnp.einsum("bij,bj->bi", a, p)
+        rz = jnp.sum(r * z, axis=1)
+        denom = jnp.sum(ap * p, axis=1)
+        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * ap
+        z = jnp.einsum("bij,bj->bi", m_dense, r)
+        beta = jnp.sum(r * z, axis=1) / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta[:, None] * p
+        return (x, r, z, p), None
+
+    r0 = b  # x0 = 0
+    z0 = jnp.einsum("bij,bj->bi", m_dense, r0)
+    state = (jnp.zeros_like(b), r0, z0, z0)
+    (x, r, z, p), _ = jax.lax.scan(body, state, None, length=k_steps)
+    res = jnp.sum(r * r, axis=1) / bb
+    return jnp.log(jnp.maximum(res, floor)).mean()
+
+
 def kaporin_loss(
     systems_tril_dense: jax.Array,  # (B, n, n) lower-triangular A part
     l_dense: jax.Array,  # (B, n, n) lower-triangular factor L

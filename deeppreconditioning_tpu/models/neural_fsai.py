@@ -1,32 +1,44 @@
-"""NeuralFSAI — FSAI local solves + a learned per-column refinement.
+"""NeuralFSAI — FSAI local solves + learned refinement + polynomial wrap.
 
 A third model family beyond the reference's two CNNs (framework
 extension; reference model.py:13-179 only offers conv nets, whose output
 pattern is the conv-dilated band — measurably weaker than the graph
-pattern tril(|A|^3): FSAI on the graph pattern reaches ~28 CG iterations
-on the FVM test split vs ~38 for the dilated-pattern optimum).
+pattern tril(|A|^p)).  Three composable parts:
 
-Architecture: the closed-form FSAI factor (ops/fsai.py — batched local
-Cholesky solves, the exact Kaporin-optimal values on the pattern) is the
-base; a small per-column MLP refines it:
+1. **FSAI base** (ops/fsai.py): batched local Cholesky solves — the
+   exact Kaporin-optimal column values on the pattern.
+2. **Per-column refinement MLP**: sees the normalized base column
+   *and* the local structure of A (the pattern column A~[S_j, j]) and
+   emits per-slot corrections
 
-    c_ref = c * exp(alpha)  on the diagonal slot (positivity preserved)
-    c_ref = c * exp(alpha) + beta * c_diag  elsewhere on the pattern
+       c_ref = c * exp(alpha)                 on the diagonal slot
+       c_ref = c * exp(alpha) + beta * c_diag elsewhere on the pattern
 
-with alpha, beta zero-initialized, so an *untrained* NeuralFSAI is
-exactly FSAI — training can only move away from the classical optimum if
-a different objective (e.g. inverse_loss, which targets the full spectrum
-rather than Kaporin's trace/det ratio) says so.  M = C C^T stays SPD by
-construction: the diagonal is c_d * exp(alpha) > 0.
+   alpha/beta are zero-initialized, so the untrained refinement is the
+   identity.
+3. **Learned polynomial wrap** (q_coeffs): the deployed preconditioner
+   is M = C q(B) q(B)^T C^T with B = C^T A~ C and q a small learned
+   polynomial (init q = I) — SPD for any coefficients, and exactly FSAI
+   when untrained.  At benchmark sizes M is materialized at setup with a
+   few MXU matmuls, so the wrap buys its iteration reduction at
+   unchanged per-iteration cost (ops/fsai.poly_preconditioner_dense);
+   at scale it is applied in factor form as alternating C / A / C^T
+   sparse applies (ops/factor_apply.py).
+
+Trained end-to-end with the unrolled-PCG residual loss
+(metrics.pcg_residual_loss) — a differentiable proxy for the deployed
+CG iteration count (the reference's validation metric,
+train.py:102-108) — so training can beat the classical Kaporin optimum
+on the metric that is actually measured.
 
 Everything is (n_pad, w)-shaped with dataset-global static width w, so
-the whole setup — local solves + MLP — is one compiled executable reused
-across cases, exactly like the conv models' gather-GEMM plans.
+the whole setup — local solves + MLP + wrap — is one compiled executable
+reused across cases, exactly like the conv models' gather-GEMM plans.
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,42 +51,56 @@ from deeppreconditioning_tpu.ops.fsai import (
     build_fsai_plan,
     build_range_fsai_plan,
     fsai_dense_factor,
+    fsai_dense_from_l0,
     fsai_values,
     pattern_col_width,
-    range_dense_factor,
+    poly_preconditioner_dense,
+    range_dense_factor_slabs,
     range_fsai_columns,
     tril_power_pattern,
 )
 
 
+class NeuralFSAIOut(NamedTuple):
+    """Model output: refined factor columns + polynomial coefficients."""
+
+    c_vals: jax.Array  # (n_pad, w) refined column values of C
+    q_coeffs: jax.Array  # (poly_degree + 1,) coefficients of q
+
+
 class NeuralFSAI(nn.Module):
-    """FSAI base + zero-init learned refinement (see module docstring).
+    """FSAI base + zero-init learned refinement + learned polynomial wrap
+    (see module docstring).
 
     Call signature (single sample; vmap for batches):
         plan: FSAIPlan (operand = (nnz0_pad,) scaled tril values) or
             RangeFSAIPlan (operand = dense scaled symmetric matrix —
             the banded fast path, ops/fsai.py).  Column width must
             equal self.width in both cases.
-    Returns (n_pad, w) refined column values of C.
+    Returns NeuralFSAIOut.  Untrained output reproduces classical FSAI
+    exactly: alpha = beta = 0 and q = I.
     """
 
     width: int
     hidden: int = 64
+    poly_degree: int = 1  # degree of q; 0 disables the wrap
 
     @nn.compact
-    def __call__(self, plan, operand: jax.Array) -> jax.Array:
+    def __call__(self, plan, operand: jax.Array) -> NeuralFSAIOut:
         w = self.width
         assert plan.width == w, (plan.width, w)
         if isinstance(plan, RangeFSAIPlan):
-            c = range_fsai_columns(plan, operand)  # (n_pad, w)
+            c, a_col = range_fsai_columns(plan, operand, with_aux=True)
         else:
-            c = fsai_values(plan, operand)
+            c, a_col = fsai_values(plan, operand, with_aux=True)
 
         pad = plan.diag_pad
         pos1h = jax.nn.one_hot(plan.pos, w, dtype=c.dtype)
         c_diag = jnp.take_along_axis(c, plan.pos[:, None], axis=1)
         denom = jnp.maximum(jnp.abs(c_diag), 1e-20)
-        feats = jnp.concatenate([c / denom, pos1h, pad], axis=1)
+        feats = jnp.concatenate(
+            [c / denom, a_col, pos1h, pad], axis=1
+        )
 
         h = nn.Dense(self.hidden, name="dense0")(feats)
         h = nn.gelu(h)
@@ -90,11 +116,19 @@ class NeuralFSAI(nn.Module):
 
         live = (plan.out_rows < plan.n_pad).astype(c.dtype) * (1.0 - pad)
         refined = c * jnp.exp(alpha) + (1.0 - pos1h) * beta * c_diag
-        return refined * live
+        c_out = refined * live
+
+        # q(B) coefficients: identity init + zero-init trainable delta
+        q0 = jnp.zeros((self.poly_degree + 1,), c.dtype).at[0].set(1.0)
+        dq = self.param(
+            "q_coeffs", nn.initializers.zeros, (self.poly_degree + 1,),
+            c.dtype,
+        )
+        return NeuralFSAIOut(c_vals=c_out, q_coeffs=q0 + dq)
 
 
 def batched_apply_fsai(model: NeuralFSAI, params, plans,
-                       operands: jax.Array) -> jax.Array:
+                       operands: jax.Array) -> NeuralFSAIOut:
     """vmap the model over a batch of stacked plans + operands
     (value vectors for FSAIPlan, dense scaled A for RangeFSAIPlan)."""
     return jax.vmap(
@@ -105,11 +139,48 @@ def batched_apply_fsai(model: NeuralFSAI, params, plans,
 def batched_dense_factor(plans, c_vals: jax.Array,
                          d_isqrt=None, n0=None) -> jax.Array:
     """vmapped dense C build -> (B, n_pad, n_pad), plan-type dispatched."""
-    factor = (range_dense_factor
+    factor = (range_dense_factor_slabs
               if isinstance(plans, RangeFSAIPlan) else fsai_dense_factor)
     if d_isqrt is None:
         return jax.vmap(lambda p, c: factor(p, c))(plans, c_vals)
     return jax.vmap(factor)(plans, c_vals, d_isqrt, n0)
+
+
+def batched_dense_m(plans, out: NeuralFSAIOut, a_full: jax.Array
+                    ) -> jax.Array:
+    """Batched dense preconditioner M~ = C q(B) q(B)^T C^T in scaled
+    space: the training/validation-side analog of the suite's
+    _neural_fsai_setup_device (no scaling fold, no n0 mask — the scaled
+    systems are what training solves)."""
+    c_dense = batched_dense_factor(plans, out.c_vals)
+    return jax.vmap(poly_preconditioner_dense)(
+        c_dense, a_full, out.q_coeffs
+    )
+
+
+def neural_fsai_dense_preconditioner(
+    model: NeuralFSAI,
+    params,
+    plan,
+    operand: jax.Array,
+    scales: jax.Array,
+    n0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Single-sample deployed setup: model forward -> dense effective
+    preconditioner on the RAW system (scaling folded, padding masked) —
+    the NeuralFSAI analog of fsai_dense_preconditioner."""
+    out = model.apply(params, plan, operand.astype(dtype))
+    if isinstance(plan, RangeFSAIPlan):
+        a_dense = operand.astype(dtype)
+        c_dense = range_dense_factor_slabs(plan, out.c_vals)
+    else:
+        a_dense = fsai_dense_from_l0(plan, operand.astype(dtype))
+        c_dense = fsai_dense_factor(plan, out.c_vals)
+    d_isqrt = 1.0 / jnp.sqrt(scales.astype(dtype))
+    return poly_preconditioner_dense(
+        c_dense, a_dense, out.q_coeffs, d_isqrt=d_isqrt, n0=n0
+    )
 
 
 def stack_fsai_plans(plans: Sequence[FSAIPlan]) -> FSAIPlan:

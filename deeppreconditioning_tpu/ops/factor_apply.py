@@ -148,3 +148,99 @@ def factor_normal_apply(m_data, r: jax.Array) -> jax.Array:
     """Suite-compatible apply: m_data = (FactorApplyPlan, vals)."""
     plan, vals = m_data
     return factor_apply(plan, vals, r)
+
+
+# -- FSAI factor form (ops/fsai.py columns -> gather apply) -------------------
+
+def build_fsai_factor_plan(
+    out_rows: np.ndarray,  # (n_pad, w) FSAI plan row sets (sentinel n_pad)
+    n_pad: int,
+    widths: Optional[Tuple[int, int]] = None,
+) -> FactorApplyPlan:
+    """FactorApplyPlan over an FSAI column pattern.
+
+    The FSAI value vector is the row-major raveled (n_pad, w) column
+    values (ops/fsai.fsai_values / range_fsai_columns): entry
+    j*w + k holds C[S_j[k], j].  This kills the dense n^2
+    materialization of M = C C^T (bench/suite round-1 weakness #2):
+    the apply is z = C (C^T r) as two fixed-width gather-rowsum ops.
+    """
+    out_rows = np.asarray(out_rows)
+    n, w = out_rows.shape
+    assert n == n_pad
+    rows = out_rows.reshape(-1).astype(np.int64)
+    cols = np.repeat(np.arange(n_pad, dtype=np.int64), w)
+    valid = rows < n_pad
+    rows = np.where(valid, rows, 0)
+    return build_factor_apply_plan(
+        rows.astype(np.int32), cols.astype(np.int32), valid, n_pad,
+        widths=widths,
+    )
+
+
+def fsai_factor_vals(
+    out_rows: jax.Array,  # (n_pad, w)
+    c_vals: jax.Array,  # (n_pad, w) scaled-space column values
+    d_isqrt: Optional[jax.Array] = None,
+    n0=None,
+) -> jax.Array:
+    """Effective raw-space factor values C_eff = D^-1/2 C~, raveled to
+    the build_fsai_factor_plan value order, padding masked.
+
+    With C_eff the polynomial inner operator satisfies
+    B~ = C_eff^T A C_eff for the RAW A (the D factors cancel), so the
+    factor-form polynomial apply needs only the raw SpMV.
+    """
+    n_pad, w = c_vals.shape
+    vals = c_vals
+    safe_rows = jnp.minimum(out_rows, n_pad - 1)
+    if d_isqrt is not None:
+        vals = vals * d_isqrt.astype(vals.dtype)[safe_rows]
+    live = out_rows < n_pad
+    if n0 is not None:
+        live = live & (safe_rows < n0) & (
+            jnp.arange(n_pad)[:, None] < n0
+        )
+    return jnp.where(live, vals, 0.0).reshape(-1)
+
+
+def make_fsai_poly_apply(matvec, degree: int):
+    """Factory for the polynomial-wrapped FSAI apply in factor form:
+
+        z = C q(B) q(B)^T C^T r,   B = C^T A C
+
+    The returned function has the suite's apply signature
+    ``(m_data, r) -> z`` with m_data = (plan: FactorApplyPlan, vals,
+    q_coeffs, a_data) — a pure-array pytree, jit-safe.  ``matvec`` (the
+    raw-system SpMV, e.g. batched_coo_matvec) and the polynomial degree
+    are Python-static, so they live in the closure, not the pytree; one
+    compiled executable is produced per (matvec, degree) pair.
+
+    Each B application is one sparse matvec bracketed by the two
+    fixed-width gathers — the scalable (and shard-local-friendly)
+    equivalent of ops/fsai.poly_preconditioner_dense.  q = I (coeffs
+    [1]) reduces to plain z = C (C^T r).
+    """
+
+    def apply_fn(m_data, r: jax.Array) -> jax.Array:
+        plan, vals, q_coeffs, a_data = m_data
+        vals_ext = jnp.concatenate([vals, jnp.zeros((1,), vals.dtype)])
+
+        def c_t(x):  # C^T x
+            return jnp.sum(vals_ext[plan.u_src] * x[plan.u_row], axis=1)
+
+        def c_(t):  # C t
+            return jnp.sum(vals_ext[plan.l_src] * t[plan.l_col], axis=1)
+
+        def b_(t):  # B t = C^T A C t
+            return c_t(matvec(a_data, c_(t)))
+
+        def q_(t):  # q(B) t by Horner
+            u = q_coeffs[degree] * t
+            for i in range(degree - 1, -1, -1):
+                u = b_(u) + q_coeffs[i] * t
+            return u
+
+        return c_(q_(q_(c_t(r))))
+
+    return apply_fn

@@ -59,6 +59,52 @@ def tril_power_pattern(
     return p.row[order].astype(np.int32), p.col[order].astype(np.int32)
 
 
+def tril_power_pattern_capped(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n: int,
+    power: int = 3,
+    width: int = 24,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """tril(|A|^power) pattern capped to ``width`` entries per column.
+
+    Out-of-distribution matrices (finer meshes, compare_meshes.py) can
+    exceed the trained static column width; instead of skipping them,
+    keep the diagonal plus the (width-1) strongest couplings per column
+    by |A|^power magnitude — the standard value-based FSAI pattern
+    filter.  Returns (rows, cols) sorted by (col, row).
+    """
+    a = sp.csr_matrix(
+        (np.abs(vals), (rows, cols)), shape=(n, n)
+    )
+    a = a + sp.tril(a, -1).T  # symmetrize magnitudes
+    p = a.copy()
+    for _ in range(power - 1):
+        p = p @ a
+    p = sp.tril(p).tocsc()
+    keep_r, keep_c = [], []
+    for j in range(n):
+        lo, hi = p.indptr[j], p.indptr[j + 1]
+        idx = p.indices[lo:hi]
+        mag = p.data[lo:hi]
+        if idx.shape[0] > width:
+            is_diag = idx == j
+            order = np.argsort(-mag)
+            sel = order[: width]
+            if not is_diag[sel].any():
+                sel = np.concatenate(
+                    [order[: width - 1], np.flatnonzero(is_diag)]
+                )
+            idx = idx[sel]
+        keep_r.append(idx)
+        keep_c.append(np.full(idx.shape[0], j, idx.dtype))
+    pr = np.concatenate(keep_r).astype(np.int32)
+    pc = np.concatenate(keep_c).astype(np.int32)
+    order = np.argsort(pc.astype(np.int64) * n + pr, kind="stable")
+    return pr[order], pc[order]
+
+
 @struct.dataclass
 class FSAIPlan:
     """Static index plan for the batched-local-solve FSAI setup.
@@ -205,10 +251,24 @@ def _batched_gauss_jordan(sub: jax.Array, e: jax.Array) -> jax.Array:
     return aug[:, :, w]
 
 
-def fsai_values(plan: FSAIPlan, l0_vals: jax.Array) -> jax.Array:
+def fsai_dense_from_l0(plan: FSAIPlan, l0_vals: jax.Array) -> jax.Array:
+    """Dense symmetric scaled matrix A~ from the tril value vector
+    (scatter of nnz0 elements; padded tail lands in a dumped row)."""
+    n_pad = plan.n_pad
+    a_dense = jnp.zeros((n_pad + 1, n_pad), l0_vals.dtype)
+    a_dense = a_dense.at[plan.l0_rows, plan.l0_cols].add(l0_vals)
+    a_dense = a_dense[:n_pad]
+    return a_dense + jnp.tril(a_dense, -1).T
+
+
+def fsai_values(plan: FSAIPlan, l0_vals: jax.Array,
+                with_aux: bool = False):
     """Column values of C from batched local solves (one fused jit).
 
     Returns (n_pad, w): entry [j, k] is C[S_j[k], j] (0 on padded slots).
+    With ``with_aux``, also returns the pattern column of the scaled
+    matrix, a_col[j, k] = A~[S_j[k], j] — the local-structure features
+    consumed by the NeuralFSAI refinement MLP.
 
     TPU shape notes: the (n_pad, w, w) submatrix extraction avoids XLA's
     near-serial element gather (measured ~3 ms for 170k indices) by
@@ -221,12 +281,7 @@ def fsai_values(plan: FSAIPlan, l0_vals: jax.Array) -> jax.Array:
     w = plan.width
     dtype = l0_vals.dtype
 
-    # dense symmetric scaled matrix from the tril value vector (scatter
-    # of nnz0 elements, once per setup)
-    a_dense = jnp.zeros((n_pad + 1, n_pad), dtype)
-    a_dense = a_dense.at[plan.l0_rows, plan.l0_cols].add(l0_vals)
-    a_dense = a_dense[:n_pad]
-    a_dense = a_dense + jnp.tril(a_dense, -1).T
+    a_dense = fsai_dense_from_l0(plan, l0_vals)
 
     s_mat = plan.out_rows  # (n_pad, w), sentinel n_pad
     s_safe = jnp.minimum(s_mat, n_pad - 1)
@@ -248,7 +303,13 @@ def fsai_values(plan: FSAIPlan, l0_vals: jax.Array) -> jax.Array:
     y = _batched_gauss_jordan(sub, e)
     y_pos = jnp.take_along_axis(y, plan.pos[:, None], axis=1)[:, 0]
     c = y / jnp.sqrt(jnp.maximum(y_pos, 1e-30))[:, None]
-    return jnp.where(plan.out_rows < n_pad, c, 0.0)
+    c = jnp.where(plan.out_rows < n_pad, c, 0.0)
+    if with_aux:
+        a_col = jnp.take_along_axis(
+            sub, plan.pos[:, None, None], axis=2
+        )[:, :, 0] * (1.0 - pad)
+        return c, a_col
+    return c
 
 
 def fsai_dense_factor(
@@ -508,10 +569,11 @@ def fsai_dense_preconditioner_range(
     return range_m_from_strips(plan, strips, d_isqrt, n0)
 
 
-def range_fsai_columns(plan: RangeFSAIPlan, a_dense: jax.Array
-                       ) -> jax.Array:
+def range_fsai_columns(plan: RangeFSAIPlan, a_dense: jax.Array,
+                       with_aux: bool = False):
     """FSAI column values (n_pad, w) via the range-blocked fast path —
-    semantically identical to ``fsai_values`` on the same pattern."""
+    semantically identical to ``fsai_values`` on the same pattern.
+    ``with_aux`` additionally returns a_col[j, k] = A~[S_j[k], j]."""
     n_pad = plan.n_pad
     h = plan.range_h
     w = plan.width
@@ -552,7 +614,13 @@ def range_fsai_columns(plan: RangeFSAIPlan, a_dense: jax.Array
     y = _masked_gauss_jordan(sub, e)
     y_pos = jnp.take_along_axis(y, plan.pos[:, None], axis=1)[:, 0]
     c = y / jnp.sqrt(jnp.maximum(y_pos, 1e-30))[:, None]
-    return jnp.where(plan.out_rows < n_pad, c, 0.0)  # (n_pad, w)
+    c = jnp.where(plan.out_rows < n_pad, c, 0.0)  # (n_pad, w)
+    if with_aux:
+        a_col = jnp.take_along_axis(
+            sub, plan.pos[:, None, None], axis=2
+        )[:, :, 0] * (1.0 - pad)
+        return c, a_col
+    return c
 
 
 def range_strips(plan: RangeFSAIPlan, c_vals: jax.Array) -> jax.Array:
@@ -616,6 +684,75 @@ def range_m_from_strips(
     return jax.lax.fori_loop(
         0, b, add_slab, jnp.zeros((n_pad, n_pad), dtype)
     )
+
+
+def range_dense_factor_slabs(plan: RangeFSAIPlan, c_vals: jax.Array
+                             ) -> jax.Array:
+    """Dense lower-triangular C (scaled space) from range-blocked column
+    values without the (B, n, H) placement one-hot of
+    ``range_dense_factor`` and without element scatter: per column block
+    b, the (H, JB) strip slab lands at (lo_b, b*JB) via
+    dynamic_update_slice — column ranges are disjoint, so the B updates
+    never collide."""
+    n_pad = plan.n_pad
+    jb = plan.block_cols
+    b = n_pad // jb
+    strips = range_strips(plan, c_vals)  # (B, JB, H)
+
+    def body(i, cmat):
+        slab = strips[i].T  # (H, JB)
+        return jax.lax.dynamic_update_slice(
+            cmat, slab, (plan.lo[i], (i * jb).astype(plan.lo.dtype))
+        )
+
+    return jax.lax.fori_loop(
+        0, b, body, jnp.zeros((n_pad, n_pad), c_vals.dtype)
+    )
+
+
+def poly_preconditioner_dense(
+    c_dense: jax.Array,  # (n, n) scaled-space factor C~
+    a_dense: jax.Array,  # (n, n) scaled symmetric A~
+    q_coeffs: jax.Array,  # (d+1,) coefficients of q
+    d_isqrt: Optional[jax.Array] = None,
+    n0: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Polynomial-wrapped FSAI preconditioner, materialized dense.
+
+        M~ = C q(B) q(B)^T C^T,   B = C^T A~ C  (so M~ is SPD for any q)
+
+    q = I reproduces plain FSAI (M = C C^T); a trained degree-1
+    q(B) = a I - b B acts like Chebyshev acceleration of the FSAI-
+    preconditioned operator — iterations drop ~2x while the *per-
+    iteration* apply cost is unchanged, because M~ is materialized here
+    with a handful of MXU matmuls at setup (the TPU-native trade: n^3
+    setup FLOPs are ~micro-seconds at benchmark sizes).  Scaling fold
+    and padding mask mirror fsai_dense_preconditioner.
+    """
+    dtype = c_dense.dtype
+    n = c_dense.shape[0]
+    # full f32 precision: the default bf16 MXU passes cost ~3e-3 relative
+    # error in M, visibly off the exact factor-form apply; these are a
+    # handful of n^3 matmuls at setup — microseconds at benchmark sizes
+    hi = jax.lax.Precision.HIGHEST
+    bmat = jnp.matmul(
+        c_dense.T, jnp.matmul(a_dense.astype(dtype), c_dense,
+                              precision=hi),
+        precision=hi,
+    )
+    eye = jnp.eye(n, dtype=dtype)
+    q = eye * q_coeffs[-1]
+    for i in range(q_coeffs.shape[0] - 2, -1, -1):  # Horner
+        q = jnp.matmul(q, bmat, precision=hi) + q_coeffs[i] * eye
+    cq = jnp.matmul(c_dense, q, precision=hi)
+    m = jnp.matmul(cq, cq.T, precision=hi)
+    if d_isqrt is not None:
+        d = d_isqrt.astype(dtype)
+        m = d[:, None] * m * d[None, :]
+    if n0 is not None:
+        mask = jnp.arange(n) < n0
+        m = jnp.where(mask[:, None] & mask[None, :], m, 0.0)
+    return m
 
 
 # -- host reference (tests / data generation) --------------------------------

@@ -107,6 +107,11 @@ def _loss_from_batch(model, params, batch: DeviceBatch,
         )
     l_dense = output_to_dense(values, batch.plans[-1], n)
     a_tril = batch.systems.to_dense()
+    if loss == "pcg_loss":
+        m = jnp.einsum("bij,bkj->bik", l_dense, l_dense)
+        return metrics_lib.pcg_residual_loss(
+            a_tril, m, batch.right_hand_sides
+        )
     if loss == "inverse_loss":
         return metrics_lib.inverse_loss(a_tril, l_dense)
     if loss == "hutchinson_trace":
@@ -191,20 +196,30 @@ def _fsai_operands(plans, feats, a_tril):
     return feats
 
 
-@partial(jax.jit, static_argnames=("model", "tx", "loss"))
+@partial(jax.jit,
+         static_argnames=("model", "tx", "loss", "pcg_steps"))
 def fsai_train_step(model, tx, state: TrainState, plans, feats,
-                    a_tril, loss: str = "inverse_loss"):
+                    a_tril, rhs=None, loss: str = "inverse_loss",
+                    pcg_steps: int = 16):
     """One optimization step for NeuralFSAI (plans/feats instead of conv
-    plans; same objectives by name)."""
+    plans; same objectives by name, plus ``pcg_loss`` — the unrolled-PCG
+    residual proxy for the deployed iteration count)."""
     from deeppreconditioning_tpu.models.neural_fsai import (
         batched_apply_fsai,
         batched_dense_factor,
+        batched_dense_m,
     )
     operands = _fsai_operands(plans, feats, a_tril)
 
     def loss_fn(p):
-        c_vals = batched_apply_fsai(model, p, plans, operands)
-        c_dense = batched_dense_factor(plans, c_vals)
+        out = batched_apply_fsai(model, p, plans, operands)
+        if loss == "pcg_loss":
+            a_full = metrics_lib.symmetrize_tril(a_tril)
+            m = batched_dense_m(plans, out, a_full)
+            return metrics_lib.pcg_residual_loss(
+                a_tril, m, rhs, k_steps=pcg_steps
+            )
+        c_dense = batched_dense_factor(plans, out.c_vals)
         if loss == "kaporin_loss":
             return metrics_lib.kaporin_loss(a_tril, c_dense)
         if loss == "inverse_loss":
@@ -224,14 +239,15 @@ def _fsai_validate_device(model, params, plans, feats, a_tril,
     on the scaled systems (similarity-invariant iteration counts)."""
     from deeppreconditioning_tpu.models.neural_fsai import (
         batched_apply_fsai,
-        batched_dense_factor,
+        batched_dense_m,
     )
     operands = _fsai_operands(plans, feats, a_tril)
-    c_vals = batched_apply_fsai(model, params, plans, operands)
-    c_dense = batched_dense_factor(plans, c_vals)
-    loss = metrics_lib.inverse_loss(a_tril, c_dense)
+    out = batched_apply_fsai(model, params, plans, operands)
     a_full = metrics_lib.symmetrize_tril(a_tril)
-    m = jnp.einsum("bij,bkj->bik", c_dense, c_dense)
+    m = batched_dense_m(plans, out, a_full)
+    eye = jnp.eye(a_full.shape[-1], dtype=a_full.dtype)[None]
+    ma = jnp.einsum("bij,bjk->bik", m, a_full)
+    loss = jnp.sqrt(jnp.sum((ma - eye) ** 2, axis=(1, 2))).mean()
 
     def solve_one(a, b, mm):
         return preconditioned_conjugate_gradient(
@@ -240,6 +256,31 @@ def _fsai_validate_device(model, params, plans, feats, a_tril,
 
     results = jax.vmap(solve_one)(a_full, right_hand_sides, m)
     return loss, results.iterations
+
+
+def dp_shard(tree, mesh):
+    """Shard every array leaf with a devices-divisible leading axis along
+    the mesh's ``dp`` axis; replicate the rest.  With sharded inputs and
+    replicated params, ``jax.jit`` compiles the train step SPMD —
+    per-shard forward/backward with an automatic gradient all-reduce
+    (SURVEY §2.4 item 1: the batch dim is the data-parallel axis)."""
+    if mesh is None:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.devices.size
+    batched = NamedSharding(mesh, P("dp"))
+    replicated = NamedSharding(mesh, P())
+
+    def place(x):
+        if (hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] % ndev == 0 and x.shape[0] > 0):
+            return jax.device_put(x, batched)
+        if hasattr(x, "ndim"):
+            return jax.device_put(x, replicated)
+        return x
+
+    return jax.tree.map(place, tree)
 
 
 def train_neural_fsai(
@@ -254,13 +295,16 @@ def train_neural_fsai(
     metrics_dir: Path | str = Path("assets/metrics_fsai"),
     seed: int = 69,
     loss: str = "inverse_loss",
+    pcg_steps: int = 16,
     select_by: str = "loss",  # "loss" | "iterations": which validation
     # metric picks best.msgpack (CG iterations is the deployed metric;
     # val loss is the reference's criterion, train.py:180)
+    mesh=None,  # optional jax.sharding.Mesh with a "dp" axis
 ) -> TrainState:
     """Training loop for the NeuralFSAI model family (train.py:139-190
     protocol: Adam, 95/5 split handled by the caller, early stopping,
-    best/latest checkpoints, four metric series)."""
+    best/latest checkpoints, four metric series).  With ``mesh`` the
+    batch is dp-sharded across devices (gradients all-reduced by XLA)."""
     checkpoint_dir = Path(checkpoint_dir)
     tx = optax.adam(learning_rate)
 
@@ -274,6 +318,8 @@ def train_neural_fsai(
         jax.random.PRNGKey(seed), sample_plan, operand0
     )
     state = TrainState(params, tx.init(params), jnp.int32(0))
+    if mesh is not None:
+        state = dp_shard(state, mesh)  # replicated (no leading batch dim)
 
     logger = MetricsLogger(metrics_dir)
     stopper = EarlyStopping(patience=patience)
@@ -282,11 +328,12 @@ def train_neural_fsai(
     def _ckpt(path, state):
         path.parent.mkdir(parents=True, exist_ok=True)
         payload = {
-            "params": state.params,
-            "opt_state": state.opt_state,
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
             "step": int(state.step),
             "width": model.width,
             "hidden": model.hidden,
+            "poly_degree": model.poly_degree,
             "power": int(getattr(plan_provider, "power", 0)),
         }
         path.write_bytes(serialization.to_bytes(payload))
@@ -296,9 +343,14 @@ def train_neural_fsai(
         for i in range(len(train_set)):
             batch = train_set[i]
             plans = plan_provider(i, batch)
+            step_args = dp_shard(
+                (plans, batch.features[:, :, 0],
+                 batch.systems.to_dense(), batch.right_hand_sides),
+                mesh,
+            )
             state, loss_val = fsai_train_step(
-                model, tx, state, plans, batch.features[:, :, 0],
-                batch.systems.to_dense(), loss,
+                model, tx, state, step_args[0], step_args[1],
+                step_args[2], step_args[3], loss, pcg_steps,
             )
             epoch_losses.append(float(loss_val))
         train_loss = float(np.mean(epoch_losses))
@@ -385,6 +437,8 @@ def train(
     loss: str = "inverse_loss",
     schedule: str = "constant",
     warmup_epochs: int = 5,
+    select_by: str = "loss",  # "loss" | "iterations"
+    mesh=None,  # optional jax.sharding.Mesh with a "dp" axis
 ) -> TrainState:
     """Full training loop (train.py:139-190 semantics; seed 69 parity).
 
@@ -392,7 +446,8 @@ def train(
     (train.py:171) at a constant learning rate; ``max_epochs`` bounds the
     loop and ``schedule`` optionally applies warmup+cosine decay (a
     rebuild addition — the constant-LR plateau is what the reference's
-    early stopping fires on).
+    early stopping fires on).  With ``mesh`` the batch is dp-sharded
+    across devices (SURVEY §2.4 item 1).
     """
     checkpoint_dir = Path(checkpoint_dir)
     if schedule == "cosine":
@@ -416,6 +471,8 @@ def train(
         jax.random.PRNGKey(seed), batch0.features[0], sample_plans
     )
     state = TrainState(params, tx.init(params), jnp.int32(0))
+    if mesh is not None:
+        state = dp_shard(state, mesh)
 
     logger = MetricsLogger(metrics_dir) if log_every else None
     stopper = EarlyStopping(patience=patience)
@@ -424,8 +481,8 @@ def train(
     for epoch in range(max_epochs):
         epoch_losses = []
         for i in range(len(train_set)):
-            state, loss_val = train_step(model, tx, state, train_set[i],
-                                         loss)
+            batch = dp_shard(train_set[i], mesh)
+            state, loss_val = train_step(model, tx, state, batch, loss)
             epoch_losses.append(float(loss_val))
         train_loss = float(np.mean(epoch_losses))
 
@@ -441,8 +498,9 @@ def train(
             logger.next_step()
 
         save_checkpoint(checkpoint_dir / "latest.msgpack", model, state)
-        if val_loss < best_val:
-            best_val = val_loss
+        criterion = val_iters if select_by == "iterations" else val_loss
+        if criterion < best_val:
+            best_val = criterion
             save_checkpoint(checkpoint_dir / "best.msgpack", model, state)
 
         if stopper(val_loss):

@@ -48,13 +48,20 @@ def _scaled_tril(a):
 def _kappa_for_case_fsai(case, model, params, power):
     """NeuralFSAI flagship branch: per-case FSAI plan at the trained
     width (the model is per-row local, so it applies to any matrix
-    size whose pattern fits the width)."""
+    size).  Patterns wider than the trained static width are capped to
+    the strongest couplings per column (tril_power_pattern_capped)
+    instead of skipped — the out-of-distribution eval must cover the
+    resolutions where the pattern grows (VERDICT r1 missing #4)."""
     import jax.numpy as jnp
 
     from deeppreconditioning_tpu.ops.fsai import (
         build_fsai_plan,
+        fsai_dense_factor,
+        fsai_dense_from_l0,
         pattern_col_width,
+        poly_preconditioner_dense,
         tril_power_pattern,
+        tril_power_pattern_capped,
     )
 
     a = case.matrix.tocsr()
@@ -73,19 +80,21 @@ def _kappa_for_case_fsai(case, model, params, power):
     l0_vals = l0_vals[order].astype(np.float32)
 
     pr, pc = tril_power_pattern(l0_rows, l0_cols, n_pad, power=power)
-    need = pattern_col_width(pr, pc)
-    if need > model.width:
-        print(f"  skip: pattern width {need} > trained {model.width}")
-        return kappa_pre, float("nan")
+    if pattern_col_width(pr, pc) > model.width:
+        pr, pc = tril_power_pattern_capped(
+            l0_rows, l0_cols, l0_vals, n_pad,
+            power=power, width=model.width,
+        )
     plan = build_fsai_plan(
         l0_rows, l0_cols, pr, pc, n_pad, width=model.width
     )
-    c_vals = model.apply(params, plan, jnp.asarray(l0_vals))
-    from deeppreconditioning_tpu.ops.fsai import fsai_dense_factor
-
-    c = np.asarray(fsai_dense_factor(plan, c_vals)).astype(np.float64)
+    out = model.apply(params, plan, jnp.asarray(l0_vals))
+    c = fsai_dense_factor(plan, out.c_vals)
+    a_dense = fsai_dense_from_l0(plan, jnp.asarray(l0_vals))
+    m = np.asarray(
+        poly_preconditioner_dense(c, a_dense, out.q_coeffs)
+    ).astype(np.float64)[:n, :n]
     a_tilde = a.toarray() * np.outer(d_isqrt, d_isqrt)
-    m = (c @ c.T)[:n, :n]
     kappa_post = float(np.linalg.cond(m @ a_tilde))
     return kappa_pre, kappa_post
 
@@ -164,6 +173,7 @@ def main() -> None:
         model = NeuralFSAI(
             width=int(payload["width"]),
             hidden=int(payload.get("hidden", 64)),
+            poly_degree=int(payload.get("poly_degree", 1)),
         )
         power = int(payload.get("power", 4)) or 4
         builder = None
