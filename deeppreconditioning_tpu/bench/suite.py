@@ -58,8 +58,10 @@ from deeppreconditioning_tpu.ops.ic0 import (
     jacobi_preconditioner,
 )
 from deeppreconditioning_tpu.ops.trisolve import (
+    build_tri_neumann,
     build_tri_schedule,
     ic_apply,
+    neumann_ic_apply,
     transpose_schedule,
 )
 from deeppreconditioning_tpu.solvers.cg import (
@@ -157,6 +159,10 @@ def _tri_apply(md, r):
     return ic_apply(md[0], md[1], r)
 
 
+def _neumann_apply(md, r):
+    return neumann_ic_apply(md, r)
+
+
 def _amg_apply(md, r):
     return amg_apply(md, r)
 
@@ -194,6 +200,9 @@ class BenchmarkSuite:
     # technique (its training-time choice, baked into the checkpoint);
     # 0 -> same as fsai_power.  Kept separate so the classical fsai
     # baseline always runs at its own total-time optimum.
+    ic_neumann_sweeps: int = 8  # truncated-Neumann IC apply order
+    # (incomplete_cholesky_neumann technique): 8 sweeps cover the bulk
+    # of the FVM factors' dependency depth at 16 fused matvecs/apply
     check_every: int = 8  # CG chunk length: solves are quantized to
     # chunk boundaries (masked fixed-trip iterations), so strong
     # preconditioners benefit from finer chunks; 8 is best for the
@@ -290,6 +299,35 @@ class BenchmarkSuite:
         else:
             m_sp = None
         return _tri_apply, (lower, upper), dens, m_sp
+
+    def _setup_incomplete_cholesky_neumann(self, a_sp, batch, ell,
+                                           need_dense, timing=False):
+        """IC(0) applied via truncated Neumann/Jacobi sweeps
+        (trisolve.py:247-278) instead of level-scheduled tri-solves —
+        the latency-optimal apply on TPU: ``2 * ic_neumann_sweeps``
+        fused ELL matvecs with a fixed trip count, versus one
+        sequential wave per dependency level.  Truncation keeps the
+        operator SPD (z = P(L)^T P(L) r), so PCG is safe; it costs a
+        few extra CG iterations and wins on wall clock."""
+        l = ic0_factor(a_sp)
+        op = build_tri_neumann(
+            l, sweeps=self.ic_neumann_sweeps, n_pad=ell.n_pad
+        )
+        op = jax.tree.map(
+            lambda x: x.astype(self.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, op)
+        if timing:
+            return _neumann_apply, op, None, None
+        n0 = a_sp.shape[0]
+        dens = 100.0 * l.nnz / (n0 * n0)
+        m_sp = None
+        if need_dense:  # M columns by applying to identity (one vmap)
+            eye = jnp.eye(ell.n_pad, dtype=self.dtype)
+            m_cols = jax.vmap(lambda e: neumann_ic_apply(op, e))(eye)
+            m_sp = sp.csr_matrix(
+                np.asarray(m_cols, np.float64).T[:n0, :n0]
+            )
+        return _neumann_apply, op, dens, m_sp
 
     def _setup_incomplete_lu(self, a_sp, batch, ell, need_dense,
                              timing=False):

@@ -372,33 +372,54 @@ class RangeFSAIPlan:
 
     Shapes: n_pad columns, B = n_pad / JB blocks, width w, range H.
         lo: (B,) int32 block range starts (clipped to n_pad - H).
-        local: (n_pad, w, ) -> encoded in one_hot instead.
-        one_hot: (n_pad, H, w) float32 — O[j, h, k] = [S_j[k] == lo + h]
-            (0 on padded slots).
+        local: (n_pad, w) int32 — local[j, k] = S_j[k] - lo_{blk(j)},
+            sentinel H on padded slots.  The (n_pad, H, w) one-hot
+            selector is built on device per call (``range_one_hot``):
+            keeping indices instead of the materialized one-hot cuts a
+            plan from ~n_pad*H*w*4 bytes (tens of MB) to ~n_pad*w*4
+            (tens of KB), so whole-dataset plan caches fit in HBM.
         pos, diag_pad, out_rows: as FSAIPlan.
     """
 
     lo: jax.Array
-    one_hot: jax.Array
+    local: jax.Array
     pos: jax.Array
     diag_pad: jax.Array
     out_rows: jax.Array
+    h: int = struct.field(pytree_node=False)
 
     @property
     def n_pad(self) -> int:
-        return self.one_hot.shape[0]
+        return self.local.shape[0]
 
     @property
     def width(self) -> int:
-        return self.one_hot.shape[2]
+        return self.local.shape[1]
 
     @property
     def range_h(self) -> int:
-        return self.one_hot.shape[1]
+        return self.h
 
     @property
     def block_cols(self) -> int:
         return self.n_pad // self.lo.shape[0]
+
+
+def range_one_hot(plan: RangeFSAIPlan, dtype) -> jax.Array:
+    """Materialize the (n_pad, H, w) one-hot selector on device:
+    O[j, h, k] = [local[j, k] == h] (all-zero on sentinel slots)."""
+    local = plan.local
+    if local.ndim == 3:  # stacked/batched plans: map over the batch dim
+        return jax.vmap(lambda lc: _local_one_hot(lc, plan.h, dtype))(
+            local
+        )
+    return _local_one_hot(local, plan.h, dtype)
+
+
+def _local_one_hot(local: jax.Array, h: int, dtype) -> jax.Array:
+    return (
+        local[:, None, :] == jnp.arange(h, dtype=local.dtype)[None, :, None]
+    ).astype(dtype)
 
 
 def build_range_fsai_plan(
@@ -467,19 +488,18 @@ def build_range_fsai_plan(
     h = min(range_h, n_pad)
     lo_b = np.minimum(lo_b, n_pad - h).astype(np.int32)
 
-    # one-hot local selectors
-    local = s_mat - lo_b[blk][:, None]  # (n_pad, w)
-    live = s_mat < n_pad
-    one_hot = np.zeros((n_pad, h, w), np.float32)
-    jj, kk = np.nonzero(live)
-    one_hot[jj, local[jj, kk], kk] = 1.0
+    # local selectors: S_j[k] - lo_blk, sentinel h on dead slots (the
+    # device-side one-hot of an out-of-range index is all-zero)
+    local = (s_mat - lo_b[blk][:, None]).astype(np.int32)  # (n_pad, w)
+    local[s_mat >= n_pad] = h
 
     return RangeFSAIPlan(
         lo=jnp.asarray(lo_b),
-        one_hot=jnp.asarray(one_hot),
+        local=jnp.asarray(local),
         pos=jnp.asarray(pos.astype(np.int32)),
         diag_pad=jnp.asarray(diag_pad),
         out_rows=jnp.asarray(s_mat.astype(np.int32)),
+        h=h,
     )
 
 
@@ -528,7 +548,7 @@ def range_dense_factor(plan: RangeFSAIPlan, c_vals: jax.Array,
     dtype = c_vals.dtype
     # strips[j, h] = sum_k c[j, k] O[j, h, k]
     strips = jnp.einsum(
-        "jk,jhk->jh", c_vals, plan.one_hot.astype(dtype)
+        "jk,jhk->jh", c_vals, range_one_hot(plan, dtype)
     )  # (n_pad, H)
     strips = strips.reshape(b, jb, h)
     # place strip block b at rows [lo_b, lo_b + H): P[b, n, h] =
@@ -585,7 +605,7 @@ def range_fsai_columns(plan: RangeFSAIPlan, a_dense: jax.Array,
         lambda lo: jax.lax.dynamic_slice(a_dense, (lo, lo), (h, h))
     )(plan.lo)  # (B, H, H)
 
-    oh = plan.one_hot.astype(dtype)  # (n_pad, H, w)
+    oh = range_one_hot(plan, dtype)  # (n_pad, H, w)
     oh_wide = jnp.moveaxis(
         oh.reshape(b, jb, h, w), 2, 1
     ).reshape(b, h, jb * w)  # (B, H, JB*w), j-major columns
@@ -632,7 +652,7 @@ def range_strips(plan: RangeFSAIPlan, c_vals: jax.Array) -> jax.Array:
     jb = plan.block_cols
     b = n_pad // jb
     dtype = c_vals.dtype
-    oh = plan.one_hot.astype(dtype)
+    oh = range_one_hot(plan, dtype)
     strips = jax.lax.dot_general(
         oh.reshape(n_pad, h, w), c_vals[:, :, None],
         (((2,), (1,)), ((0,), (0,))),

@@ -217,8 +217,12 @@ class TriNeumann:
 
 
 def build_tri_neumann(l_factor: sp.spmatrix, sweeps: int,
-                      n_pad: int | None = None) -> TriNeumann:
-    """Prepare the Neumann apply operator for a lower-tri factor."""
+                      n_pad: int | None = None,
+                      k_bucket: int = 4) -> TriNeumann:
+    """Prepare the Neumann apply operator for a lower-tri factor.
+
+    The ELL width is rounded up to ``k_bucket`` so same-family factors
+    share shapes and hit one compiled apply across a benchmark sweep."""
     csr = sp.tril(l_factor.tocsr(), format="csr")
     n = csr.shape[0]
     if n_pad is None:
@@ -228,6 +232,16 @@ def build_tri_neumann(l_factor: sp.spmatrix, sweeps: int,
     from deeppreconditioning_tpu.sparse.ell import csr_to_ell_arrays
 
     cols, vals = csr_to_ell_arrays(strict, n_pad, sentinel=n_pad)
+    k = cols.shape[1]
+    k_pad = _round_up(k, k_bucket)
+    if k_pad != k:
+        cols = np.concatenate(
+            [cols, np.full((n_pad, k_pad - k), n_pad, cols.dtype)],
+            axis=1,
+        )
+        vals = np.concatenate(
+            [vals, np.zeros((n_pad, k_pad - k), vals.dtype)], axis=1
+        )
     inv_diag = np.zeros(n_pad)
     inv_diag[:n] = 1.0 / diag
     return TriNeumann(

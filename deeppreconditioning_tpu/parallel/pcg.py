@@ -62,11 +62,19 @@ def _matvec_allgather(cols, vals, x_local, axis_name):
 
 
 def _matvec_halo(cols, vals, x_local, axis_name, halo, n_total):
-    """Single-neighbor halo exchange (exact iff bandwidth <= halo).
+    """Single-neighbor halo exchange (exact iff bandwidth <= halo),
+    overlapped with the interior SpMV.
 
     Each shard receives the last `halo` entries of its left neighbor and
-    the first `halo` entries of its right neighbor; global column g maps
-    to position g - shard_start + halo in the extended local vector.
+    the first `halo` entries of its right neighbor via ``ppermute``.
+    The accumulation is split into an *interior* pass that reads only
+    ``x_local`` and a *boundary* pass that reads only the halo slabs:
+    the interior gather-FMA has no data dependence on the collectives,
+    so XLA's latency-hiding scheduler computes it while the ICI
+    transfers are in flight (SURVEY §2.4 item 2's mandated overlap).
+    Cost: the (cols, vals) operands are streamed twice; interior work —
+    the bulk at FVM bandwidths — hides the communication latency.
+
     Ring wrap-around slabs are never addressed: edge shards have no
     out-of-domain columns.
     """
@@ -77,27 +85,40 @@ def _matvec_halo(cols, vals, x_local, axis_name, halo, n_total):
     left_perm = [(i, (i - 1) % axis_size) for i in range(axis_size)]
     from_left = jax.lax.ppermute(x_local[-halo:], axis_name, right_perm)
     from_right = jax.lax.ppermute(x_local[:halo], axis_name, left_perm)
-    x_ext = jnp.concatenate(
-        [from_left, x_local, from_right, jnp.zeros((1,), x_local.dtype)]
+
+    rel = cols - idx * r  # column position relative to the shard start
+    is_pad = cols >= n_total
+
+    # interior pass: columns inside [0, r) — independent of the halos
+    interior = (rel >= 0) & (rel < r) & ~is_pad
+    loc = jnp.where(interior, rel, r)
+    x_loc_ext = jnp.concatenate(
+        [x_local, jnp.zeros((1,), x_local.dtype)]
     )
-    shard_start = idx * r
-    local_cols = jnp.where(
-        cols >= n_total, 2 * halo + r, cols - shard_start + halo
+    y = jnp.sum(vals * x_loc_ext[loc], axis=1)
+
+    # boundary pass: columns in the left/right halo slabs
+    halos = jnp.concatenate(
+        [from_left, from_right, jnp.zeros((1,), x_local.dtype)]
     )
-    local_cols = jnp.clip(local_cols, 0, 2 * halo + r)
-    return jnp.sum(vals * x_ext[local_cols], axis=1)
+    hidx = jnp.where(
+        (rel < 0) & ~is_pad, rel + halo,
+        jnp.where((rel >= r) & ~is_pad, rel - r + halo, 2 * halo),
+    )
+    hidx = jnp.clip(hidx, 0, 2 * halo)
+    return y + jnp.sum(vals * halos[hidx], axis=1)
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "mesh", "axis_name", "mode", "apply_m", "max_iter",
-        "n_shards", "halo", "n_total",
+        "n_shards", "halo", "n_total", "check_every",
     ),
 )
 def _pcg_sharded_impl(
     mesh, cols, vals, b, m_arg, apply_m, axis_name, mode,
-    rtol, max_iter, n_shards, halo, n_total,
+    rtol, max_iter, n_shards, halo, n_total, check_every,
 ):
     def solve_local(cols, vals, b, m_local):
         def matvec(x):
@@ -119,8 +140,6 @@ def _pcg_sharded_impl(
         # inside, data-dependent convergence check only per chunk — the
         # check is a cross-host sync point on a real pod, so checking
         # every iteration would serialize the mesh on host round trips.
-        check_every = 64
-
         def masked_iter(state):
             x, r, z, p, k, done = state
             frozen = jnp.logical_or(done, k >= max_iter)
@@ -172,6 +191,7 @@ def pcg_sharded(
     mode: str = "allgather",
     rtol: float = 1e-8,
     max_iter: int = 1024,
+    check_every: int = 64,
 ) -> CGResult:
     """Distributed PCG over a 1-D mesh axis.
 
@@ -190,7 +210,7 @@ def pcg_sharded(
     )
     x, k, res = _pcg_sharded_impl(
         mesh, a.cols, a.vals, b, m_arg, apply_m, axis_name, mode,
-        rtol, max_iter, a.n_shards, a.halo, a.n_total,
+        rtol, max_iter, a.n_shards, a.halo, a.n_total, check_every,
     )
     return CGResult(x=x, iterations=k, residual=res)
 

@@ -382,7 +382,10 @@ def train_neural_fsai(
             best_val = criterion
             _ckpt(checkpoint_dir / "best.msgpack", state)
 
-        if stopper(val_loss):
+        # early-stop on the same criterion that picks best.msgpack:
+        # with select_by="iterations" the surrogate val loss may rise
+        # while the deployed metric keeps falling
+        if stopper(criterion):
             break
 
     logger.close()
@@ -503,7 +506,8 @@ def train(
             best_val = criterion
             save_checkpoint(checkpoint_dir / "best.msgpack", model, state)
 
-        if stopper(val_loss):
+        # stop on the checkpoint-selection criterion (see train_neural_fsai)
+        if stopper(criterion):
             break
 
     if logger:

@@ -27,7 +27,7 @@ def test_suite_runs_all_techniques(tmp_path):
     suite = BenchmarkSuite(
         ds, model, params,
         techniques=("vanilla", "jacobi", "incomplete_cholesky",
-                    "fsai", "learned"),
+                    "incomplete_cholesky_neumann", "fsai", "learned"),
         timing_reps=1, kappa_cases=1,
         results_directory=tmp_path,
     )
