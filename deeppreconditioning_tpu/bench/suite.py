@@ -422,6 +422,11 @@ class BenchmarkSuite:
         if power not in cache:
             ds_width, spread = 1, 1
             pats = []
+            # range-path eligibility cutoff: one permuted/unstructured
+            # case must not inflate the global slab height H for the
+            # whole dataset — cases wider than this fall back to the
+            # generic element-gather plan individually
+            spread_cap = max(ell.n_pad // 4, 128)
             for index in range(len(self.data_set)):
                 b = self.data_set[index]
                 r0, c0, nnz0 = self._l0_sites(b)
@@ -430,12 +435,15 @@ class BenchmarkSuite:
                 )
                 ds_width = max(ds_width, pattern_col_width(pr, pc))
                 blk = pc // 8
+                case_spread = 1
                 for bi in np.unique(blk):
                     sel = blk == bi
-                    spread = max(
-                        spread,
+                    case_spread = max(
+                        case_spread,
                         int(pr[sel].max() - pr[sel].min() + 1),
                     )
+                if case_spread <= spread_cap:
+                    spread = max(spread, case_spread)
                 pats.append((id(b.features), r0, c0, pr, pc, nnz0))
             cache[power] = (
                 ds_width,
@@ -472,14 +480,26 @@ class BenchmarkSuite:
                 cache.popitem(last=False)
             ds_width, range_h, pats = self._fsai_meta(ell, power)
             eff_width = ds_width if width is None else width
-            if eff_width < ds_width:
-                raise ValueError(
-                    f"model width {eff_width} smaller than dataset "
-                    f"pattern width {ds_width}"
-                )
             self._fsai_range_h = range_h
             r0, c0, pr, pc, nnz0 = pats[id(batch.features)]
             scales0 = batch.scales[0]
+            if eff_width < pattern_col_width(pr, pc):
+                # learned width is baked into the checkpoint; cap the
+                # pattern to the trained width (strongest couplings per
+                # column) instead of refusing out-of-distribution cases
+                # — same fallback as scripts/compare_meshes.py
+                from deeppreconditioning_tpu.ops.fsai import (
+                    tril_power_pattern_capped,
+                )
+
+                nnz = r0.shape[0]
+                mags = np.asarray(
+                    batch.features[0, :nnz, 0], np.float64
+                )
+                pr, pc = tril_power_pattern_capped(
+                    r0, c0, mags, ell.n_pad,
+                    power=power, width=eff_width,
+                )
             try:
                 plan = build_range_fsai_plan(
                     pr, pc, ell.n_pad,

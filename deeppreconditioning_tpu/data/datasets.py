@@ -267,10 +267,12 @@ class SludgePatternDataSet(PlannedDataSet):
         shuffle: bool = True,
         root: Path = ROOT,
         seed: int = 69,
+        family: str = "sludge_patterns",  # or "sludge_patterns_3d":
+        # the castellated/permuted 3-D split (data/fvm.py)
     ) -> None:
         super().__init__(batch_size, specs)
-        all_folders = sorted((Path(root) / "sludge_patterns").glob("case_*"))
-        assert all_folders, f"no cases under {root}/sludge_patterns"
+        all_folders = sorted((Path(root) / family).glob("case_*"))
+        assert all_folders, f"no cases under {root}/{family}"
         folders = _split_folders(all_folders, stage)
         if shuffle:
             random.Random(seed).shuffle(folders)

@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from deeppreconditioning_tpu.config import params_show  # noqa: E402
 from deeppreconditioning_tpu.data.fvm import (  # noqa: E402
     generate_sludge_case,
+    generate_sludge_case_3d,
     save_case,
 )
 
@@ -33,13 +34,26 @@ def main() -> None:
                         default=params.mesh_cells)
     parser.add_argument("--root", type=Path,
                         default=Path(params.data_root))
+    parser.add_argument(
+        "--family", default="2d", choices=["2d", "3d"],
+        help="2d: structured sludge tanks (reference parity); "
+        "3d: castellated 3-D meshes, every other case randomly "
+        "permuted (non-banded split)",
+    )
     args = parser.parse_args()
 
     rng = np.random.default_rng(69420)  # generate_data.py:15 seed parity
-    out = args.root / "sludge_patterns"
+    suffix = "" if args.family == "2d" else "_3d"
+    out = args.root / f"sludge_patterns{suffix}"
     start = time.perf_counter()
     for i in range(args.samples):
-        case = generate_sludge_case(rng, mesh_cells=args.mesh_cells)
+        if args.family == "3d":
+            case = generate_sludge_case_3d(
+                rng, mesh_cells=args.mesh_cells, castellated=True,
+                permute=bool(i % 2),
+            )
+        else:
+            case = generate_sludge_case(rng, mesh_cells=args.mesh_cells)
         save_case(case, out / f"case_{i:04d}")
         if (i + 1) % 50 == 0:
             rate = (i + 1) / (time.perf_counter() - start)

@@ -41,18 +41,44 @@ class _SubsetView:
 
 def main() -> None:
     params = params_show()
-    if params.model == "NeuralFSAI":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default=params.model)
+    args_pre, _ = parser.parse_known_args()
+    if args_pre.model == "NeuralFSAI":
         # the NeuralFSAI family trains over FSAI plans, not conv plans
         import train_fsai
 
         train_fsai.main()
         return
-    parser = argparse.ArgumentParser()
     parser.add_argument("--max-epochs", type=int,
                         default=params.max_epochs)
+    parser.add_argument("--loss", default=params.loss,
+                        choices=["inverse_loss", "frobenius_loss",
+                                 "hutchinson_trace", "condition_loss",
+                                 "pcg_loss"])
+    parser.add_argument("--select-by", default="loss",
+                        choices=["loss", "iterations"])
+    parser.add_argument("--lr", type=float, default=params.learning_rate)
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--metrics-dir", default=None)
     args = parser.parse_args()
+    # conv families keep their own artifact dirs when params.yaml's
+    # flagship is NeuralFSAI
+    default_ckpt = ("assets/checkpoints_v2"
+                    if args.model == "PreconditionerNet"
+                    else "assets/checkpoints_unet")
+    default_metrics = ("assets/metrics_v2"
+                       if args.model == "PreconditionerNet"
+                       else "assets/metrics_unet")
+    is_flagship = params.model == args.model
+    ckpt_dir = args.checkpoint_dir or (
+        params.checkpoint_dir if is_flagship else default_ckpt
+    )
+    metrics_dir = args.metrics_dir or (
+        params.metrics_dir if is_flagship else default_metrics
+    )
 
-    specs = plan_builder_for(params.model, params.channels)
+    specs = plan_builder_for(args.model, params.channels)
     dataset_cls = get_dataset_class(params.data)
     full = dataset_cls(
         stage="train",
@@ -68,24 +94,25 @@ def main() -> None:
     print(f"train batches: {len(train_set)}, val batches: {len(val_set)}, "
           f"dof_pad: {full.dof_pad}")
 
-    model_cls = get_model_class(params.model)
+    model_cls = get_model_class(args.model)
     model = model_cls(channels=tuple(params.channels))
 
     state = train(
         model,
         train_set,
         val_set,
-        learning_rate=params.learning_rate,
+        learning_rate=args.lr,
         patience=params.patience,
         max_epochs=args.max_epochs,
-        checkpoint_dir=Path(params.checkpoint_dir),
-        metrics_dir=Path(params.metrics_dir),
+        checkpoint_dir=Path(ckpt_dir),
+        metrics_dir=Path(metrics_dir),
         seed=params.seed,
-        loss=params.loss,
+        loss=args.loss,
         schedule=params.schedule,
+        select_by=args.select_by,
     )
     print(f"finished at step {int(state.step)}; checkpoints in "
-          f"{params.checkpoint_dir}")
+          f"{ckpt_dir}")
 
 
 if __name__ == "__main__":
