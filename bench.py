@@ -106,7 +106,7 @@ def _spmv_throughput() -> dict:
     from deeppreconditioning_tpu.sparse.dia import poisson_dia
 
     from deeppreconditioning_tpu.ops.pallas_stencil import (
-        poisson3d_stencil_matvec,
+        StencilOperator3D,
     )
 
     out = {}
@@ -134,13 +134,16 @@ def _spmv_throughput() -> dict:
             "us": round(dt * 1e6, 1),
         }
         if len(shape) == 3:  # constant-coefficient stencil fast path
-            xs = x[: a.n_pad]
-            y = poisson3d_stencil_matvec(xs, shape)
-            y.block_until_ready()
+            # zero-copy ghost-padded layout (StencilOperator3D): the
+            # solver-hot-loop formulation — no pad/scatter per call
+            op = StencilOperator3D(shape=shape)
+            xp = op.embed(x)
+            xp = op.matvec(xp)
+            xp.block_until_ready()
             start = time.perf_counter()
             for _ in range(iters):
-                xs = poisson3d_stencil_matvec(xs, shape)
-            xs.block_until_ready()
+                xp = op.matvec(xp)
+            xp.block_until_ready()
             dt = (time.perf_counter() - start) / iters
             out[label + "_stencil"] = {
                 "gnnz_per_s": round(nnz / dt / 1e9, 3),

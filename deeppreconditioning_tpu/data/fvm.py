@@ -259,6 +259,9 @@ def generate_sludge_case_3d(
     mesh_cells: int = 2,
     castellated: bool = True,
     permute: bool = False,
+    dims: tuple | None = None,
+    max_cells: int = 2000,
+    solve: bool = True,
 ) -> FVMCase:
     """3-D two-phase pressure-Poisson case on a castellated hex mesh.
 
@@ -273,12 +276,14 @@ def generate_sludge_case_3d(
     all — the split that forces the generic (non-range) FSAI plans and
     the all-gather distributed SpMV in benchmarks (VERDICT r1 weak #2).
     """
-    base = 5 * mesh_cells
-    dims = [
-        max(int(base * rng.uniform(0.85, 1.15)), 5) for _ in range(3)
-    ]
+    if dims is None:
+        base = 5 * mesh_cells
+        dims = [
+            max(int(base * rng.uniform(0.85, 1.15)), 5)
+            for _ in range(3)
+        ]
     nz, ny, nx = dims
-    while nx * ny * nz > 2000:
+    while nx * ny * nz > max_cells:
         nz, ny, nx = nz - 1, ny - 1, nx - 1
     shape = (nz, ny, nx)
 
@@ -385,10 +390,15 @@ def generate_sludge_case_3d(
         a = a_csr.tocoo()
         b = b[perm]
 
-    x, info = sp.linalg.cg(
-        a.tocsr(), b, atol=1e-6, rtol=0.0, maxiter=20000
-    )
-    assert info == 0, f"ground-truth CG did not converge (info={info})"
+    if solve:
+        x, info = sp.linalg.cg(
+            a.tocsr(), b, atol=1e-6, rtol=0.0, maxiter=20000
+        )
+        assert info == 0, (
+            f"ground-truth CG did not converge (info={info})"
+        )
+    else:  # kernel benchmarks need only the operator
+        x = np.zeros_like(b)
 
     return FVMCase(matrix=a, rhs=b, solution=x, shape_2d=shape)
 

@@ -183,6 +183,69 @@ def neural_fsai_dense_preconditioner(
     )
 
 
+def neural_fsai_case_setup(
+    model: NeuralFSAI,
+    params,
+    a_csr,  # scipy CSR raw system
+    power: int,
+    dtype=jnp.float32,
+):
+    """Per-case deployed setup from a raw scipy system: Jacobi-scale,
+    build the (width-capped) FSAI plan, model forward, fold the scaling
+    — returns (m, n_pad): the dense effective preconditioner for the
+    RAW system, padded.  The shared host path of compare_meshes.py and
+    residual_parity.py (one-off cases outside a PlannedDataSet)."""
+    from deeppreconditioning_tpu.ops.fsai import (
+        fsai_dense_from_l0,
+        poly_preconditioner_dense,
+        tril_power_pattern_capped,
+    )
+
+    a = a_csr.tocsr()
+    n = a.shape[0]
+    coo = a.tocoo()
+    keep = coo.row >= coo.col
+    rows, cols = coo.row[keep], coo.col[keep]
+    vals = coo.data[keep]
+    diag = a.diagonal()
+    d_isqrt = 1.0 / np.sqrt(diag)
+    vals = vals * d_isqrt[rows] * d_isqrt[cols]
+
+    n_pad = ((n + 127) // 128) * 128
+    pad_ids = np.arange(n, n_pad, dtype=np.int32)
+    l0_rows = np.concatenate([rows.astype(np.int32), pad_ids])
+    l0_cols = np.concatenate([cols.astype(np.int32), pad_ids])
+    l0_vals = np.concatenate([vals, np.ones(n_pad - n)])
+    order = np.argsort(l0_rows.astype(np.int64) * n_pad + l0_cols)
+    l0_rows, l0_cols = l0_rows[order], l0_cols[order]
+    l0_vals = l0_vals[order]
+
+    pr, pc = tril_power_pattern(l0_rows, l0_cols, n_pad, power=power)
+    if pattern_col_width(pr, pc) > model.width:
+        pr, pc = tril_power_pattern_capped(
+            l0_rows, l0_cols, l0_vals, n_pad,
+            power=power, width=model.width,
+        )
+    plan = build_fsai_plan(
+        l0_rows, l0_cols, pr, pc, n_pad, width=model.width
+    )
+    operand = jnp.asarray(l0_vals, dtype)
+    p = jax.tree.map(lambda x: jnp.asarray(x).astype(dtype)
+                     if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                     else x, params)
+    out = model.apply(p, plan, operand)
+    c = fsai_dense_factor(plan, out.c_vals)
+    a_dense = fsai_dense_from_l0(plan, operand)
+    d_isqrt_pad = np.ones(n_pad)
+    d_isqrt_pad[:n] = d_isqrt
+    m = poly_preconditioner_dense(
+        c, a_dense, out.q_coeffs,
+        d_isqrt=jnp.asarray(d_isqrt_pad, dtype),
+        n0=jnp.int32(n),
+    )
+    return m, n_pad
+
+
 def stack_fsai_plans(plans: Sequence[FSAIPlan]) -> FSAIPlan:
     """Stack per-sample plans (same static shapes) into one batched plan."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *plans)

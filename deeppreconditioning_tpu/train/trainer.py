@@ -442,6 +442,9 @@ def train(
     warmup_epochs: int = 5,
     select_by: str = "loss",  # "loss" | "iterations"
     mesh=None,  # optional jax.sharding.Mesh with a "dp" axis
+    init_from: Path | str | None = None,  # warm-start params from a
+    # checkpoint (fresh optimizer) — e.g. fine-tune the inverse-loss
+    # optimum with pcg_loss, which diverges from a random init
 ) -> TrainState:
     """Full training loop (train.py:139-190 semantics; seed 69 parity).
 
@@ -473,6 +476,12 @@ def train(
     params = model.init(
         jax.random.PRNGKey(seed), batch0.features[0], sample_plans
     )
+    if init_from is not None:
+        payload = load_checkpoint(Path(init_from))
+        params = jax.tree.map(
+            lambda ref, x: jnp.asarray(x, ref.dtype),
+            params, payload["params"],
+        )
     state = TrainState(params, tx.init(params), jnp.int32(0))
     if mesh is not None:
         state = dp_shard(state, mesh)

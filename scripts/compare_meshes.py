@@ -31,20 +31,6 @@ from deeppreconditioning_tpu.models import plan_builder_for  # noqa: E402
 from deeppreconditioning_tpu.train.trainer import load_checkpoint  # noqa: E402
 
 
-def _scaled_tril(a):
-    """Jacobi-scale + tril + (row, col) sort — the dataset transform."""
-    n = a.shape[0]
-    coo = a.tocoo()
-    keep = coo.row >= coo.col
-    rows, cols, vals = coo.row[keep], coo.col[keep], coo.data[keep]
-    diag = a.diagonal()
-    d_isqrt = 1.0 / np.sqrt(diag)
-    vals = vals * d_isqrt[rows] * d_isqrt[cols]
-    order = np.argsort(rows.astype(np.int64) * n + cols)
-    return (rows[order].astype(np.int32), cols[order].astype(np.int32),
-            vals[order], d_isqrt)
-
-
 def _kappa_for_case_fsai(case, model, params, power):
     """NeuralFSAI flagship branch: per-case FSAI plan at the trained
     width (the model is per-row local, so it applies to any matrix
@@ -52,50 +38,18 @@ def _kappa_for_case_fsai(case, model, params, power):
     the strongest couplings per column (tril_power_pattern_capped)
     instead of skipped — the out-of-distribution eval must cover the
     resolutions where the pattern grows (VERDICT r1 missing #4)."""
-    import jax.numpy as jnp
-
-    from deeppreconditioning_tpu.ops.fsai import (
-        build_fsai_plan,
-        fsai_dense_factor,
-        fsai_dense_from_l0,
-        pattern_col_width,
-        poly_preconditioner_dense,
-        tril_power_pattern,
-        tril_power_pattern_capped,
+    from deeppreconditioning_tpu.models.neural_fsai import (
+        neural_fsai_case_setup,
     )
 
     a = case.matrix.tocsr()
     n = a.shape[0]
     kappa_pre = float(np.linalg.cond(a.toarray()))
-
-    rows, cols, vals, d_isqrt = _scaled_tril(a)
-    n_pad = ((n + 127) // 128) * 128
-    # identity padding rows (the dataset's 1*x = 1 trivial equations)
-    pad_ids = np.arange(n, n_pad, dtype=np.int32)
-    l0_rows = np.concatenate([rows, pad_ids])
-    l0_cols = np.concatenate([cols, pad_ids])
-    l0_vals = np.concatenate([vals, np.ones(n_pad - n)])
-    order = np.argsort(l0_rows.astype(np.int64) * n_pad + l0_cols)
-    l0_rows, l0_cols = l0_rows[order], l0_cols[order]
-    l0_vals = l0_vals[order].astype(np.float32)
-
-    pr, pc = tril_power_pattern(l0_rows, l0_cols, n_pad, power=power)
-    if pattern_col_width(pr, pc) > model.width:
-        pr, pc = tril_power_pattern_capped(
-            l0_rows, l0_cols, l0_vals, n_pad,
-            power=power, width=model.width,
-        )
-    plan = build_fsai_plan(
-        l0_rows, l0_cols, pr, pc, n_pad, width=model.width
-    )
-    out = model.apply(params, plan, jnp.asarray(l0_vals))
-    c = fsai_dense_factor(plan, out.c_vals)
-    a_dense = fsai_dense_from_l0(plan, jnp.asarray(l0_vals))
-    m = np.asarray(
-        poly_preconditioner_dense(c, a_dense, out.q_coeffs)
-    ).astype(np.float64)[:n, :n]
-    a_tilde = a.toarray() * np.outer(d_isqrt, d_isqrt)
-    kappa_post = float(np.linalg.cond(m @ a_tilde))
+    # M is the RAW-space effective preconditioner (scaling folded), so
+    # kappa_post measures M A directly
+    m, _ = neural_fsai_case_setup(model, params, a, power)
+    m = np.asarray(m, np.float64)[:n, :n]
+    kappa_post = float(np.linalg.cond(m @ a.toarray()))
     return kappa_pre, kappa_post
 
 

@@ -56,6 +56,7 @@ def main() -> None:
         model = NeuralFSAI(
             width=int(payload["width"]),
             hidden=int(payload.get("hidden", 64)),
+            poly_degree=int(payload.get("poly_degree", 1)),
         )
     else:
         model_cls = get_model_class(params.model)
@@ -63,13 +64,15 @@ def main() -> None:
 
     if args.techniques == "all":
         techniques = ("vanilla", "jacobi", "incomplete_cholesky",
-                      "incomplete_lu", "algebraic_multigrid", "fsai",
-                      "learned")
+                      "incomplete_cholesky_neumann", "incomplete_lu",
+                      "algebraic_multigrid", "fsai", "learned")
     else:
         techniques = tuple(args.techniques.split(","))
     suite_kwargs = {}
     if params.model == "NeuralFSAI":
-        suite_kwargs["fsai_power"] = int(payload.get("power", 4)) or 4
+        # the learned technique's pattern power is baked into the
+        # checkpoint; the classical fsai baseline keeps its own optimum
+        suite_kwargs["learned_power"] = int(payload.get("power", 4)) or 4
     suite = BenchmarkSuite(
         data_set,
         model,

@@ -61,7 +61,23 @@ def main() -> None:
     parser.add_argument("--lr", type=float, default=params.learning_rate)
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--metrics-dir", default=None)
+    parser.add_argument("--init-from", default=None,
+                        help="warm-start params from this checkpoint")
+    parser.add_argument("--dp", type=int, default=0,
+                        help="data-parallel devices (0 = single device)")
     args = parser.parse_args()
+
+    mesh = None
+    if args.dp:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        assert len(devs) >= args.dp, (
+            f"requested dp={args.dp} but only {len(devs)} devices"
+        )
+        mesh = Mesh(np.array(devs[: args.dp]), ("dp",))
     # conv families keep their own artifact dirs when params.yaml's
     # flagship is NeuralFSAI
     default_ckpt = ("assets/checkpoints_v2"
@@ -110,6 +126,8 @@ def main() -> None:
         loss=args.loss,
         schedule=params.schedule,
         select_by=args.select_by,
+        init_from=args.init_from,
+        mesh=mesh,
     )
     print(f"finished at step {int(state.step)}; checkpoints in "
           f"{ckpt_dir}")

@@ -69,8 +69,22 @@ def test_pallas_dia_kernel_interpret():
     orig = ps.pl.pallas_call
     ps.pl.pallas_call = functools.partial(orig, interpret=True)
     try:
-        y_kernel = np.asarray(ps.dia_matvec_pallas(a, x, tile=512))
+        # tile=512 >= halo(32): rolling-window kernel (x traffic 1x)
+        y_roll = np.asarray(ps.dia_matvec_pallas(a, x, tile=512))
+        # tile=16 < halo: big-span fallback kernel
+        y_span = np.asarray(ps.dia_matvec_pallas(a, x, tile=16))
+        # 3-D offsets across several tile boundaries, auto tile pick
+        a3 = poisson_dia((12, 12, 12), dtype=jnp.float32)
+        x3 = jnp.asarray(
+            np.random.default_rng(2).standard_normal(a3.n_pad),
+            jnp.float32,
+        )
+        y3 = np.asarray(ps.dia_matvec_pallas(a3, x3))
     finally:
         ps.pl.pallas_call = orig
     y_ref = np.asarray(a.matvec(x))
-    np.testing.assert_allclose(y_kernel, y_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y_roll, y_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y_span, y_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        y3, np.asarray(a3.matvec(x3)), rtol=1e-5, atol=1e-5
+    )
