@@ -27,19 +27,24 @@ def initialize_if_needed() -> bool:
     Returns True when running multi-process.  Safe to call always:
     single-process runs (including the tunneled single-chip dev setup)
     skip initialization.
+
+    Must run before anything touches the XLA backend — so the env check
+    comes first and no jax.devices()/process_count() call happens on
+    the single-process path (those would initialize the backend and
+    make a later ``jax.distributed.initialize`` impossible).
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
     num_processes = os.environ.get("JAX_NUM_PROCESSES")
-    if coordinator and num_processes:
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=int(num_processes),
-            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
-        )
+    if not (coordinator and num_processes):
+        return False
+    if jax.distributed.is_initialized():
         return True
-    return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=int(num_processes),
+        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
+    return True
 
 
 def solver_mesh(axis_name: str = "x") -> Mesh:
