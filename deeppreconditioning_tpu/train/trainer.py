@@ -300,6 +300,8 @@ def train_neural_fsai(
     # metric picks best.msgpack (CG iterations is the deployed metric;
     # val loss is the reference's criterion, train.py:180)
     mesh=None,  # optional jax.sharding.Mesh with a "dp" axis
+    init_from: Path | str | None = None,  # warm-start params (fresh
+    # optimizer) from a same-shape checkpoint
 ) -> TrainState:
     """Training loop for the NeuralFSAI model family (train.py:139-190
     protocol: Adam, 95/5 split handled by the caller, early stopping,
@@ -317,6 +319,12 @@ def train_neural_fsai(
     params = model.init(
         jax.random.PRNGKey(seed), sample_plan, operand0
     )
+    if init_from is not None:
+        payload = load_checkpoint(Path(init_from))
+        params = jax.tree.map(
+            lambda ref, x: jnp.asarray(x, ref.dtype),
+            params, payload["params"],
+        )
     state = TrainState(params, tx.init(params), jnp.int32(0))
     if mesh is not None:
         state = dp_shard(state, mesh)  # replicated (no leading batch dim)

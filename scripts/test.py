@@ -84,6 +84,14 @@ def main() -> None:
     )
     suite.run(verbose=args.verbose)
     suite.dump_csv()
+    try:  # box plots (reference defines plot_histograms, test.py:157)
+        for parameter, figure in suite.plot_histograms():
+            figure.savefig(
+                Path(params.results_dir) / f"{parameter}_boxplot.png",
+                dpi=120, bbox_inches="tight",
+            )
+    except ImportError:
+        pass  # no matplotlib in this environment
     for name, stats in suite.summary().items():
         print(f"{name}: iters={stats['iterations']:.1f} "
               f"total={stats['total'] * 1e3:.2f}ms "

@@ -93,6 +93,9 @@ def main() -> None:
     )
     parser.add_argument("--select-by", default="iterations",
                         choices=["loss", "iterations"])
+    parser.add_argument("--init-from", default=None,
+                        help="warm-start params from this checkpoint "
+                        "(same width/hidden/poly-degree)")
     args = parser.parse_args()
 
     mesh = None
@@ -135,6 +138,7 @@ def main() -> None:
         pcg_steps=args.pcg_steps,
         select_by=args.select_by,
         mesh=mesh,
+        init_from=args.init_from,
     )
     print("final step:", int(state.step))
 
