@@ -55,8 +55,11 @@ from deeppreconditioning_tpu.ops.fsai import (
     fsai_values,
     pattern_col_width,
     poly_preconditioner_dense,
+    poly_preconditioner_from_gram,
     range_dense_factor_slabs,
     range_fsai_columns,
+    range_m_from_strips,
+    range_strips,
     tril_power_pattern,
 )
 
@@ -171,13 +174,20 @@ def neural_fsai_dense_preconditioner(
     preconditioner on the RAW system (scaling folded, padding masked) —
     the NeuralFSAI analog of fsai_dense_preconditioner."""
     out = model.apply(params, plan, operand.astype(dtype))
-    if isinstance(plan, RangeFSAIPlan):
-        a_dense = operand.astype(dtype)
-        c_dense = range_dense_factor_slabs(plan, out.c_vals)
-    else:
-        a_dense = fsai_dense_from_l0(plan, operand.astype(dtype))
-        c_dense = fsai_dense_factor(plan, out.c_vals)
     d_isqrt = 1.0 / jnp.sqrt(scales.astype(dtype))
+    if isinstance(plan, RangeFSAIPlan):
+        # Gram form: assemble S = C_eff C_eff^T directly from strips
+        # (the classical setup's slab op) and apply the polynomial as
+        # 2d+1 extra matmuls — no dense factor C materialization
+        strips = range_strips(plan, out.c_vals)
+        s_eff = range_m_from_strips(
+            plan, strips, d_isqrt=d_isqrt, n0=n0
+        )
+        d_sqrt = jnp.sqrt(scales.astype(dtype))
+        a_raw = d_sqrt[:, None] * operand.astype(dtype) * d_sqrt[None, :]
+        return poly_preconditioner_from_gram(s_eff, a_raw, out.q_coeffs)
+    a_dense = fsai_dense_from_l0(plan, operand.astype(dtype))
+    c_dense = fsai_dense_factor(plan, out.c_vals)
     return poly_preconditioner_dense(
         c_dense, a_dense, out.q_coeffs, d_isqrt=d_isqrt, n0=n0
     )

@@ -775,6 +775,41 @@ def poly_preconditioner_dense(
     return m
 
 
+def poly_preconditioner_from_gram(
+    s_eff: jax.Array,  # (n, n) effective Gram S = C_eff C_eff^T
+    a_raw: jax.Array,  # (n, n) dense RAW symmetric A
+    q_coeffs: jax.Array,  # (d+1,) coefficients of q
+) -> jax.Array:
+    """poly_preconditioner_dense in Gram form — no dense factor needed.
+
+    With S = C C^T and B = C^T A C, every term satisfies
+    C B^k C^T = (S A)^k S, so
+
+        M = C q(B) q(B)^T C^T = sum_k r_k (S A)^k S,  r = q * q (conv).
+
+    The range path assembles S directly from block-local strips
+    (range_m_from_strips, the same slab op the classical FSAI setup
+    uses), which skips materializing the dense factor C entirely —
+    the learned setup then costs only 2d+1 extra MXU matmuls over
+    classical FSAI.  Works in raw space: S_eff = D^-1/2 S~ D^-1/2 and
+    A_raw = D^1/2 A~ D^1/2 make the scaling fold cancel term-wise.
+    q = I reduces to M = S exactly.  Padding: with S_eff masked to
+    n0 x n0, the identity terms of the polynomial die against S on
+    both sides, so no extra mask is needed.
+    """
+    dtype = s_eff.dtype
+    n = s_eff.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    r = jnp.convolve(q_coeffs, q_coeffs)  # (2d+1,)
+    t = jnp.matmul(s_eff, a_raw.astype(dtype), precision=hi)
+    eye = jnp.eye(n, dtype=dtype)
+    p = eye * r[-1]
+    for i in range(r.shape[0] - 2, -1, -1):  # Horner in T = S A
+        p = jnp.matmul(p, t, precision=hi) + r[i] * eye
+    m = jnp.matmul(p, s_eff, precision=hi)
+    return 0.5 * (m + m.T)  # exact in reals; symmetrize f32 roundoff
+
+
 # -- host reference (tests / data generation) --------------------------------
 
 def fsai_factor_scipy(

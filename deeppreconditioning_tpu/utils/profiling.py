@@ -65,14 +65,28 @@ def time_kernel(fn, *args, iters: int = 100) -> float:
     """Amortized kernel seconds: chained repetitions, one device sync.
 
     Per-call ``block_until_ready`` measures dispatch/tunnel latency, not
-    kernel time — always amortize (see bench.py methodology).
+    kernel time — always amortize (see bench.py methodology).  When the
+    output matches the (single) input's shape/dtype, repetitions are
+    dependency-chained (y = f(y)) so the device serializes the reps and
+    the host run-ahead can't overlap them away.
     """
     out = fn(*args)
     jax.block_until_ready(out)
+    chain = (
+        len(args) == 1
+        and hasattr(out, "shape") and hasattr(args[0], "shape")
+        and out.shape == args[0].shape and out.dtype == args[0].dtype
+    )
     start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    if chain:
+        v = args[0]
+        for _ in range(iters):
+            v = fn(v)
+        jax.block_until_ready(v)
+    else:
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
     return (time.perf_counter() - start) / iters
 
 

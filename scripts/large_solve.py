@@ -31,30 +31,32 @@ def main() -> None:
 
     from deeppreconditioning_tpu.ops.pallas_stencil import (
         StencilOperator3D,
-        stencil_matvec_padded,
+        stencil_matvec_flat,
     )
     from deeppreconditioning_tpu.solvers.cg import conjugate_gradient
 
     g = args.grid
     shape = (g, g, g)
     n = g ** 3
+    # flat formulation: measures ~35% faster per matvec than the
+    # ghost-padded layout on v5e (see ops/pallas_stencil.py note)
     op = StencilOperator3D(shape=shape)
     rng = np.random.default_rng(0)
     b = rng.standard_normal(n).astype(np.float32)
-    bp = op.embed(jnp.asarray(b))
+    bp = jnp.asarray(b)
 
     # warm-up / compile
-    res = conjugate_gradient(stencil_matvec_padded, op, bp,
+    res = conjugate_gradient(stencil_matvec_flat, op, bp,
                              rtol=args.rtol, max_iter=args.max_iter)
     jax.block_until_ready(res)
     start = time.perf_counter()
-    res = conjugate_gradient(stencil_matvec_padded, op, bp,
+    res = conjugate_gradient(stencil_matvec_flat, op, bp,
                              rtol=args.rtol, max_iter=args.max_iter)
     jax.block_until_ready(res)
     dt = time.perf_counter() - start
 
     iters = int(res.iterations)
-    x = np.asarray(op.extract(res.x))
+    x = np.asarray(res.x)
     print(f"grid {g}^3: n={n:,} dof, {iters} iterations in {dt:.2f}s "
           f"({iters / dt:.0f} it/s, "
           f"{n * iters / dt / 1e9:.2f} Gdof-updates/s), "

@@ -26,7 +26,7 @@ def main() -> None:
         dia_matvec_pallas,
     )
     from deeppreconditioning_tpu.ops.pallas_stencil import (
-        StencilOperator3D,
+        poisson3d_stencil_matvec,
     )
     from deeppreconditioning_tpu.sparse.dia import poisson_dia
     from deeppreconditioning_tpu.utils.profiling import time_kernel
@@ -54,9 +54,12 @@ def main() -> None:
         bytes_actual = (
             (a.vals.shape[0] + 1 + x_factor) * a.n_pad * 4
         )
-        op = StencilOperator3D(shape=shape)
-        xp = op.embed(x[:n])
-        secs_st = time_kernel(lambda v: op.matvec(v), xp)
+        # flat pad-based stencil: measures faster than the ghost-padded
+        # layout on v5e ((n+2)-strided slabs are lane-hostile)
+        xs = x[:n]
+        secs_st = time_kernel(
+            lambda v: poisson3d_stencil_matvec(v, shape), xs
+        )
         bytes_st = 2 * n * 4
         rows_out.append({
             "grid": g,
@@ -82,7 +85,7 @@ def main() -> None:
             ),
         })
         print(rows_out[-1], flush=True)
-        del a, x, xs
+        del a, x, xp
 
     out = Path("assets/results/spmv_roofline.csv")
     out.parent.mkdir(parents=True, exist_ok=True)

@@ -197,3 +197,36 @@ def test_fsai_padded_and_masked():
     assert np.all(m[n0:, :] == 0) and np.all(m[:, n0:] == 0)
     eig = np.linalg.eigvalsh(m[:n0, :n0])
     assert eig.min() > 0
+
+
+def test_poly_gram_form_matches_dense_factor_form():
+    """poly_preconditioner_from_gram == poly_preconditioner_dense:
+    C B^k C^T = (S A)^k S with S = C C^T (exact in reals)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from deeppreconditioning_tpu.ops.fsai import (
+        poly_preconditioner_dense,
+        poly_preconditioner_from_gram,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 24
+    bmat = np.tril(rng.standard_normal((n, n)), -1) * 0.3 + np.eye(n)
+    a = bmat @ bmat.T + 0.1 * np.eye(n)
+    c = np.tril(rng.standard_normal((n, n)) * 0.1 + np.eye(n))
+    q = np.array([0.8, -0.15, 0.02])
+    d_isqrt = 1.0 / np.sqrt(np.diag(a))
+    a_scaled = a * np.outer(d_isqrt, d_isqrt)
+
+    m_dense = np.asarray(poly_preconditioner_dense(
+        jnp.asarray(c, jnp.float64), jnp.asarray(a_scaled, jnp.float64),
+        jnp.asarray(q, jnp.float64),
+        d_isqrt=jnp.asarray(d_isqrt, jnp.float64),
+    ))
+    c_eff = d_isqrt[:, None] * c
+    s_eff = c_eff @ c_eff.T
+    m_gram = np.asarray(poly_preconditioner_from_gram(
+        jnp.asarray(s_eff, jnp.float64), jnp.asarray(a, jnp.float64),
+        jnp.asarray(q, jnp.float64),
+    ))
+    np.testing.assert_allclose(m_gram, m_dense, rtol=1e-10, atol=1e-12)
