@@ -293,7 +293,17 @@ def fsai_values(plan: FSAIPlan, l0_vals: jax.Array,
         s_safe[:, None, :] == jnp.arange(n_pad)[None, :, None]
     ).astype(dtype)  # (n_pad, n_pad, w)
     sub = jnp.einsum("jpn,jnq->jpq", r_rows, one_hot)
-    # padded slots: identity block, decoupled
+    return _fsai_solve_columns(plan, sub, with_aux)
+
+
+def _fsai_solve_columns(plan: FSAIPlan, sub: jax.Array,
+                        with_aux: bool = False):
+    """Shared tail of the FSAI setups: pad the (n_pad, w, w) local
+    submatrices to identity on dead slots, batched Gauss-Jordan,
+    Kaporin normalization."""
+    n_pad = plan.n_pad
+    w = plan.width
+    dtype = sub.dtype
     pad = plan.diag_pad  # (n_pad, w) 1.0 where padded
     live = 1.0 - pad
     sub = sub * live[:, :, None] * live[:, None, :]
@@ -310,6 +320,22 @@ def fsai_values(plan: FSAIPlan, l0_vals: jax.Array,
         )[:, :, 0] * (1.0 - pad)
         return c, a_col
     return c
+
+
+def fsai_values_lookup(plan: FSAIPlan, l0_vals: jax.Array,
+                       with_aux: bool = False):
+    """fsai_values via the plan's sub_idx element gather.
+
+    O(n_pad * w^2) memory — the dense-row variant above materializes
+    the n^2 scaled matrix, which is the faster layout at benchmark
+    sizes but impossible at solver scale (a 262k-dof Poisson system
+    would need a terabyte).  Identical output."""
+    vals_ext = jnp.concatenate(
+        [l0_vals, jnp.zeros((1,), l0_vals.dtype)]
+    )
+    idx = jnp.minimum(plan.sub_idx, vals_ext.shape[0] - 1)
+    sub = vals_ext[idx]
+    return _fsai_solve_columns(plan, sub, with_aux)
 
 
 def fsai_dense_factor(

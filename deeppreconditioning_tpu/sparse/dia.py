@@ -47,6 +47,34 @@ class DIAMatrix:
     def halo(self) -> int:
         return max(abs(o) for o in self.offsets) if self.offsets else 0
 
+    def to_scipy(self):
+        """Exact scipy CSR of the true n x n matrix.
+
+        NOTE the convention difference vs scipy.sparse.diags: our
+        vals[d, i] multiplies x[i + off] (indexed by ROW), while scipy
+        indexes diagonal data by COLUMN — feeding vals straight into
+        sp.diags misaligns every off-diagonal and produces an
+        asymmetric matrix at grid boundaries."""
+        import scipy.sparse as sp
+
+        v = np.asarray(self.vals)
+        rows, cols, data = [], [], []
+        for d, off in enumerate(self.offsets):
+            i0, i1 = max(0, -off), min(self.n, self.n - off)
+            if i1 <= i0:
+                continue
+            i = np.arange(i0, i1)
+            rows.append(i)
+            cols.append(i + off)
+            data.append(v[d, i0:i1])
+        m = sp.csr_matrix(
+            (np.concatenate(data),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(self.n, self.n),
+        )
+        m.eliminate_zeros()
+        return m
+
     def matvec(self, x: jax.Array) -> jax.Array:
         """y = A @ x via static shifted slices (pure XLA)."""
         h = self.halo

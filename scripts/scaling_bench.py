@@ -29,9 +29,17 @@ def main() -> None:
     parser.add_argument("--grid", type=int, default=64,
                         help="Poisson grid edge (n = grid^3)")
     parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument(
+        "--precond", default="none", choices=["none", "jacobi", "fsai"],
+        help="distributed preconditioner: shard-local Jacobi or the "
+        "exact halo-exchanged FSAI apply (parallel/fsai.py)",
+    )
     parser.add_argument("--out", type=Path,
                         default=Path("assets/results/scaling.csv"))
     args = parser.parse_args()
+    if (args.precond != "none"
+            and args.out == Path("assets/results/scaling.csv")):
+        args.out = Path(f"assets/results/scaling_{args.precond}.csv")
 
     if args.virtual:
         os.environ["XLA_FLAGS"] = (
@@ -68,15 +76,43 @@ def main() -> None:
 
     dia = poisson_dia(shape, dtype=jnp.float32)
     dense_n = dia.n
-    a_scipy = sp.csr_matrix(
-        sp.diags(
-            [np.asarray(dia.vals[d, :dense_n]) for d in
-             range(len(dia.offsets))],
-            dia.offsets, shape=(dense_n, dense_n),
-        )
-    )
+    # row-indexed DIA -> scipy (sp.diags would misalign off-diagonals:
+    # it indexes diagonal data by column, producing an asymmetric A)
+    a_scipy = dia.to_scipy()
     rng = np.random.default_rng(0)
     b_host = rng.standard_normal(dense_n).astype(np.float32)
+
+    fsai_rows = fsai_vals = None
+    if args.precond == "fsai":
+        # FSAI on the pattern of tril(A) (power 1): plan host-side,
+        # column values as one batched masked Gauss-Jordan on device
+        from deeppreconditioning_tpu.ops.fsai import (
+            build_fsai_plan,
+            fsai_values_lookup,
+            tril_power_pattern,
+        )
+
+        coo = a_scipy.tocoo()
+        keep = coo.row >= coo.col
+        order = np.argsort(
+            coo.row[keep].astype(np.int64) * dense_n + coo.col[keep]
+        )
+        l0_r = coo.row[keep][order].astype(np.int32)
+        l0_c = coo.col[keep][order].astype(np.int32)
+        l0_v = coo.data[keep][order].astype(np.float32)
+        n_pad8 = ((dense_n + 7) // 8) * 8
+        pad = np.arange(dense_n, n_pad8, dtype=np.int32)
+        l0_r = np.concatenate([l0_r, pad])
+        l0_c = np.concatenate([l0_c, pad])
+        l0_v = np.concatenate([l0_v, np.ones(n_pad8 - dense_n,
+                                             np.float32)])
+        pr, pc = tril_power_pattern(l0_r, l0_c, n_pad8, power=1)
+        plan = build_fsai_plan(l0_r, l0_c, pr, pc, n_pad8)
+        c_vals = jax.jit(fsai_values_lookup)(plan, jnp.asarray(l0_v))
+        fsai_rows = np.asarray(plan.out_rows)
+        fsai_vals = np.asarray(c_vals)
+        print(f"fsai factor: width {plan.width}, "
+              f"{dense_n:,} columns", flush=True)
 
     rows_out = []
     shard_counts = [s for s in (1, 2, 4, 8, 16, 32)
@@ -88,16 +124,41 @@ def main() -> None:
         b = jnp.asarray(pad_vector(b_host, sharded.n_total))
         mode = ("halo" if sharded.halo <= sharded.rows_per_shard
                 else "allgather")
-        res = pcg_sharded(mesh, sharded, b, mode=mode, max_iter=256)
+        from deeppreconditioning_tpu.parallel.pcg import (
+            diag_local,
+            identity_local,
+        )
+
+        apply_m, m_data = identity_local, None
+        if args.precond == "jacobi":
+            d = np.zeros(sharded.n_total, np.float32)
+            d[:dense_n] = 1.0 / a_scipy.diagonal()
+            apply_m, m_data = diag_local, jnp.asarray(d)
+        elif args.precond == "fsai":
+            from deeppreconditioning_tpu.parallel.fsai import (
+                build_sharded_fsai,
+                make_fsai_sharded_apply,
+            )
+
+            sf = build_sharded_fsai(
+                fsai_rows, fsai_vals, s, n_total=sharded.n_total
+            )
+            m_data = {"u_pos": sf.u_pos, "u_vals": sf.u_vals,
+                      "l_pos": sf.l_pos, "l_vals": sf.l_vals}
+            apply_m = make_fsai_sharded_apply(sf.halo)
+        res = pcg_sharded(mesh, sharded, b, m_data=m_data,
+                          apply_m=apply_m, mode=mode, max_iter=256)
         jax.block_until_ready(res)
         start = time.perf_counter()
         for _ in range(args.reps):
-            res = pcg_sharded(mesh, sharded, b, mode=mode, max_iter=256)
+            res = pcg_sharded(mesh, sharded, b, m_data=m_data,
+                              apply_m=apply_m, mode=mode, max_iter=256)
         jax.block_until_ready(res)
         dt = (time.perf_counter() - start) / args.reps
         rows_out.append({
             "shards": s,
             "mode": mode,
+            "precond": args.precond,
             "n": dense_n,
             "iterations": int(res.iterations),
             "seconds": dt,

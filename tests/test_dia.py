@@ -88,3 +88,18 @@ def test_pallas_dia_kernel_interpret():
     np.testing.assert_allclose(
         y3, np.asarray(a3.matvec(x3)), rtol=1e-5, atol=1e-5
     )
+
+
+def test_dia_to_scipy_symmetric_and_matches_matvec():
+    """to_scipy must reproduce the operator exactly (symmetric for
+    Poisson) — sp.diags on the raw vals misaligns off-diagonals."""
+    a = poisson_dia((5, 6, 7), dtype=jnp.float64)
+    m = a.to_scipy()
+    asym = abs(m - m.T)
+    assert asym.nnz == 0 or asym.max() < 1e-14
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(a.n)
+    xp = np.zeros(a.n_pad)
+    xp[: a.n] = x
+    y_dia = np.asarray(a.matvec(jnp.asarray(xp)))[: a.n]
+    np.testing.assert_allclose(m @ x, y_dia, rtol=1e-12, atol=1e-12)

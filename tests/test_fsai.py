@@ -230,3 +230,36 @@ def test_poly_gram_form_matches_dense_factor_form():
         jnp.asarray(q, jnp.float64),
     ))
     np.testing.assert_allclose(m_gram, m_dense, rtol=1e-10, atol=1e-12)
+
+
+def test_fsai_values_lookup_matches_dense_variant():
+    """The O(n w^2) sub_idx lookup path == the dense-row gather path."""
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+    from deeppreconditioning_tpu.ops.fsai import (
+        build_fsai_plan,
+        fsai_values,
+        fsai_values_lookup,
+        tril_power_pattern,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 40
+    bmat = np.tril(rng.standard_normal((n, n)), -1)
+    bmat[np.abs(bmat) < 1.2] = 0.0
+    a = bmat @ bmat.T + np.eye(n) * 2.0
+    coo = sp.coo_matrix(np.tril(a))
+    order = np.argsort(coo.row.astype(np.int64) * n + coo.col)
+    r0 = coo.row[order].astype(np.int32)
+    c0 = coo.col[order].astype(np.int32)
+    v0 = coo.data[order]
+    pr, pc = tril_power_pattern(r0, c0, n, power=2)
+    plan = build_fsai_plan(r0, c0, pr, pc, n)
+    vals = jnp.asarray(v0, jnp.float64)
+    c_dense, aux_d = fsai_values(plan, vals, with_aux=True)
+    c_look, aux_l = fsai_values_lookup(plan, vals, with_aux=True)
+    np.testing.assert_allclose(np.asarray(c_look), np.asarray(c_dense),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(aux_l), np.asarray(aux_d),
+                               rtol=1e-12, atol=1e-14)
