@@ -87,6 +87,11 @@ class NeuralFSAI(nn.Module):
     width: int
     hidden: int = 64
     poly_degree: int = 1  # degree of q; 0 disables the wrap
+    gather: str = "rows"  # FSAIPlan submatrix extraction: "rows" (dense
+    # row gather + one-hot MXU select — fastest single-case, but its
+    # one-hot is O(n_pad^2 w) memory) or "lookup" (plan.sub_idx element
+    # gather, O(n_pad w^2) — required when vmapping over many cases).
+    # Pure tracing choice; parameters are identical across variants.
 
     @nn.compact
     def __call__(self, plan, operand: jax.Array) -> NeuralFSAIOut:
@@ -94,6 +99,10 @@ class NeuralFSAI(nn.Module):
         assert plan.width == w, (plan.width, w)
         if isinstance(plan, RangeFSAIPlan):
             c, a_col = range_fsai_columns(plan, operand, with_aux=True)
+        elif self.gather == "lookup":
+            from deeppreconditioning_tpu.ops.fsai import fsai_values_lookup
+
+            c, a_col = fsai_values_lookup(plan, operand, with_aux=True)
         else:
             c, a_col = fsai_values(plan, operand, with_aux=True)
 

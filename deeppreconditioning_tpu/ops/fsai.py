@@ -371,9 +371,17 @@ def fsai_dense_preconditioner(
     d_isqrt: Optional[jax.Array] = None,
     n0: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    gather: str = "rows",
 ) -> jax.Array:
-    """Full FSAI setup: M = C C^T ~= A^-1 as a dense matrix (one jit)."""
-    c_vals = fsai_values(plan, l0_vals)
+    """Full FSAI setup: M = C C^T ~= A^-1 as a dense matrix (one jit).
+
+    ``gather="lookup"`` extracts submatrices via plan.sub_idx (O(n w^2)
+    memory) instead of the dense-row one-hot (O(n^2 w)) — required when
+    vmapping the setup over many stacked cases (bench run_batched)."""
+    if gather == "lookup":
+        c_vals = fsai_values_lookup(plan, l0_vals)
+    else:
+        c_vals = fsai_values(plan, l0_vals)
     c = fsai_dense_factor(plan, c_vals, d_isqrt, n0)
     m = c @ c.T
     if n0 is not None:

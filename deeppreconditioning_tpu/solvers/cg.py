@@ -117,6 +117,83 @@ def preconditioned_conjugate_gradient(
     return CGResult(x=x, iterations=k, residual=jnp.dot(r, r) / bb)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("matvec", "apply_m", "max_iter", "check_every"),
+)
+def batched_preconditioned_conjugate_gradient(
+    matvec: Callable[[Any, jax.Array], jax.Array],
+    a_data: Any,
+    b: jax.Array,
+    apply_m: Callable[[Any, jax.Array], jax.Array] = identity_apply,
+    m_data: Any = None,
+    rtol: float = 1e-8,
+    max_iter: int = 1024,
+    check_every: int = 8,
+) -> CGResult:
+    """Solve B independent systems A_i x_i = b_i in ONE compiled dispatch.
+
+    The reference benchmarks 100 same-shape cases one solve at a time
+    (test.py:119-155), which on a tunneled TPU pins every case to the
+    ~1.3-2 ms dispatch floor regardless of iteration count.  Batching the
+    whole test split into a single while_loop amortizes that floor across
+    the batch: per-iteration work is (B, n)-shaped, every CG scalar is a
+    per-case ``einsum('bn,bn->b')`` reduction, and convergence is tracked
+    per case with masked updates (converged cases freeze, so per-case
+    iteration counts are identical to the per-case solver's; the batch
+    runs until all cases are done).
+
+    Args:
+        matvec: batched SpMV ``(a_data, x(B,n)) -> (B,n)``.
+        a_data: stacked operator pytree (leading batch dim).
+        b: (B, n) stacked right-hand sides.
+        apply_m: batched preconditioner apply ``(m_data, r(B,n)) -> (B,n)``.
+
+    Returns CGResult with x (B, n), iterations (B,) int32, residual (B,).
+    """
+    def dots(u, v):
+        return jnp.einsum("bn,bn->b", u, v)
+
+    x = jnp.zeros_like(b)
+    r = b - matvec(a_data, x)
+    z = apply_m(m_data, r)
+    p = z
+    bb = dots(b, b)
+    bb = jnp.where(bb == 0, 1.0, bb)
+
+    def masked_iter(state):
+        x, r, z, p, k, done = state
+        frozen = jnp.logical_or(done, k >= max_iter)  # (B,)
+        fz = frozen[:, None]
+        ap = matvec(a_data, p)
+        rz = dots(r, z)
+        denom = dots(ap, p)
+        alpha = jnp.where(frozen, 0.0, rz / denom)
+        x = x + alpha[:, None] * p
+        r_new = jnp.where(fz, r, r - alpha[:, None] * ap)
+        z_new = jnp.where(fz, z, apply_m(m_data, r_new))
+        beta = jnp.where(frozen, 0.0, dots(r_new, z_new) / rz)
+        p = jnp.where(fz, p, z_new + beta[:, None] * p)
+        k = jnp.where(frozen, k, k + 1)
+        done = jnp.logical_or(done, dots(r_new, r_new) / bb < rtol)
+        return (x, r_new, z_new, p, k, done)
+
+    def chunk(state):
+        return jax.lax.fori_loop(
+            0, check_every, lambda i, s: masked_iter(s), state
+        )
+
+    def cond(state):
+        *_, k, done = state
+        return jnp.any(jnp.logical_and(jnp.logical_not(done), k < max_iter))
+
+    init_done = dots(r, r) / bb < rtol
+    k0 = jnp.zeros(b.shape[0], jnp.int32)
+    state = (x, r, z, p, k0, init_done)
+    x, r, z, p, k, done = jax.lax.while_loop(cond, chunk, state)
+    return CGResult(x=x, iterations=k, residual=dots(r, r) / bb)
+
+
 def conjugate_gradient(
     matvec: Callable[[Any, jax.Array], jax.Array],
     a_data: Any,

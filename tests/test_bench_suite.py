@@ -56,7 +56,7 @@ def test_suite_runs_all_techniques(tmp_path):
                       "durations,totals,successes")
 
 
-def test_suite_learned_neural_fsai_branch():
+def test_suite_learned_neural_fsai_branch(tmp_path):
     """The learned technique with a NeuralFSAI model runs through the
     suite and, untrained (zero-init refinement), matches the classical
     fsai technique's iteration counts exactly."""
@@ -88,6 +88,7 @@ def test_suite_learned_neural_fsai_branch():
         ds, model, params,
         techniques=("vanilla", "fsai", "learned"),
         timing_reps=1, kappa_cases=0, fsai_power=2,
+        results_directory=tmp_path,
     )
     suite.run()
     s = suite.summary()
@@ -95,7 +96,58 @@ def test_suite_learned_neural_fsai_branch():
     assert s["learned"]["iterations"] == s["fsai"]["iterations"]
 
 
-def test_suite_fsai_matches_scipy_reference():
+def test_batched_protocol_iteration_parity(tmp_path):
+    """run_batched (one compiled solve for the whole split, sparsified
+    applies) reproduces the per-case protocol's iteration counts and
+    converges on every case for every technique it supports."""
+    import jax
+    from deeppreconditioning_tpu.models import (
+        FSAIPlanProvider,
+        NeuralFSAI,
+    )
+    from deeppreconditioning_tpu.train.trainer import _fsai_operands
+
+    specs = precond_net_specs((1, 1, 1))
+    ds = RandomSPDDataSet(
+        "train", dof=40, batch_size=1, specs=specs, sparsity=0.85,
+        length=3, seed=2, shuffle=False,
+    )
+    width = 40
+    provider = FSAIPlanProvider(ds, power=2, width=width, kind="generic")
+    model = NeuralFSAI(width=width, hidden=8)
+    batch = ds[0]
+    plans = provider(0, batch)
+    operands = _fsai_operands(
+        plans, batch.features[:, :, 0], batch.systems.to_dense()
+    )
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jax.tree.map(lambda x: x[0], plans), operands[0],
+    )
+    techniques = ("vanilla", "jacobi", "incomplete_cholesky_neumann",
+                  "fsai", "learned")
+    suite = BenchmarkSuite(
+        ds, model, params,
+        techniques=techniques,
+        timing_reps=1, kappa_cases=0, fsai_power=2, learned_power=2,
+        results_directory=tmp_path,
+    )
+    suite.run()
+    batched = suite.run_batched(reps=1, setup_reps=1, chunk=2)
+    suite.dump_csv_batched()
+    assert (tmp_path / "batched.csv").exists()
+    for name in techniques:
+        stats = batched[name]
+        assert stats["success"] == 100.0, (name, stats)
+        per_case = np.asarray(suite.iterations[name])
+        bat = np.asarray(stats["iterations_per_case"])
+        # identical masked-convergence semantics; the batched matvec is
+        # the scaled-dense form (f32 rounding differs from the raw ELL
+        # form), which can move a count near the tolerance by a couple
+        assert np.abs(per_case - bat).max() <= 2, (name, per_case, bat)
+
+
+def test_suite_fsai_matches_scipy_reference(tmp_path):
     """The suite's scaled-then-folded FSAI equals FSAI computed directly
     on the raw system (scaling covariance)."""
     import jax.numpy as jnp
@@ -116,6 +168,7 @@ def test_suite_fsai_matches_scipy_reference():
     suite = BenchmarkSuite(
         ds, None, None, techniques=("vanilla", "fsai"),
         timing_reps=1, kappa_cases=0,
+        results_directory=tmp_path,
     )
     batch = ds[0]
     a_sp, _, _, n0 = suite._reconstruct(batch)
