@@ -66,6 +66,7 @@ from deeppreconditioning_tpu.ops.trisolve import (
     transpose_schedule,
 )
 from deeppreconditioning_tpu.solvers.cg import (
+    batched_pcg_fixed_trips,
     batched_preconditioned_conjugate_gradient,
     dense_matvec,
     ell_matvec,
@@ -172,7 +173,20 @@ def _scaled_dense_matvec(a_data, x):
 
 
 def _dense_apply_batched(m, r):
-    """Batched dense preconditioner apply z = M r (cg.py:81 semantics)."""
+    """Batched dense preconditioner apply z = M r (cg.py:81 semantics).
+
+    When M is stored bf16 (the batched protocol's default for the dense
+    techniques) the contraction runs with bf16 inputs and f32
+    accumulation — half the HBM traffic of the f32 apply.  A ~4e-3
+    relative perturbation of an M with kappa(MA) ~= 9-30 leaves
+    per-case PCG iteration counts unchanged (asserted against the
+    per-case f32 protocol in tests/test_bench_suite.py); the CG
+    residual recurrence itself stays f32 (matvec on A is f32)."""
+    if m.dtype == jnp.bfloat16:
+        return jnp.einsum(
+            "bij,bj->bi", m, r.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     return jnp.einsum("bij,bj->bi", m, r)
 
 
@@ -221,7 +235,8 @@ def _learned_dense_setup_chunk(model, params, plans, operands, scales,
 
     def one(plan, op, s, n0):
         return neural_fsai_dense_preconditioner(
-            model, params, plan, op, s, n0, dtype=dtype
+            model, params, plan, op, s, n0, dtype=dtype,
+            precision="bf16",
         )
 
     return jax.vmap(one)(plans, operands, scales, n0s)
@@ -965,7 +980,7 @@ class BenchmarkSuite:
             try:
                 plan = build_range_fsai_plan(
                     pr, pc, n_pad, width=width,
-                    range_h=min(range_h, n_pad),
+                    range_h=min(range_h, n_pad), static_lo=True,
                 )
                 by_kind["range"].append((index, plan, None))
             except ValueError:
@@ -989,9 +1004,17 @@ class BenchmarkSuite:
         cache[key] = groups
         return groups
 
-    def _dense_m_from_groups(self, groups, chunk, setup_fn):
+    def _dense_m_from_groups(self, groups, chunk, setup_fn, jitter=None):
         """Run a chunked vmapped dense-M setup over plan groups; returns
-        the (B, n, n) stack in case order."""
+        the (B, n, n) stack in case order.
+
+        ``jitter`` is a zero-valued scalar derived from the previous
+        timing rep's output: adding it to the scales makes each rep's
+        input a fresh device buffer that *depends* on the prior rep —
+        without it, the tunneled runtime can serve repeat dispatches of
+        an identical (executable, buffers) pair from cache and the
+        timing loop measures nothing (observed: 10 reps of an 80 MB
+        assembly "finishing" in 50 us total)."""
         common = self._batched_common()
         n_cases = len(self.data_set)
         n_pad = common["n_pad"]
@@ -1003,10 +1026,13 @@ class BenchmarkSuite:
                 sel = idx[lo:hi]
                 ops = (common["a_tilde"][jnp.asarray(sel)]
                        if kind == "range" else operands[lo:hi])
+                scales = common["d_sqrt"][jnp.asarray(sel)] ** 2
+                if jitter is not None:
+                    scales = scales + jitter
                 parts.append(setup_fn(
                     jax.tree.map(lambda x: x[lo:hi], plans),
                     ops,
-                    common["d_sqrt"][jnp.asarray(sel)] ** 2,
+                    scales,
                     common["n0"][jnp.asarray(sel)],
                 ))
             m_group = (jnp.concatenate(parts) if len(parts) > 1
@@ -1014,18 +1040,30 @@ class BenchmarkSuite:
             out = out.at[jnp.asarray(idx)].set(m_group)
         return out
 
-    def _batched_setup(self, name, setup_reps, chunk):
+    def _batched_setup(self, name, setup_reps, chunk, m_dtype=None):
         """Build one technique's batched (apply_fn, m_data) and time the
-        device setup.  Returns (apply_fn, m_data, setup_seconds)."""
+        device setup.  Returns (apply_fn, m_data, setup_seconds).
+
+        ``m_dtype`` (e.g. bf16) casts dense M stacks as the last step of
+        the timed build.  Timing note: one block_until_ready costs
+        ~35 ms of tunnel latency (CLAUDE.md), so the loop runs
+        ``setup_reps`` chained builds with a single final sync — reps
+        must be high enough to amortize the sync for device-cheap
+        setups."""
         common = self._batched_common()
         n_pad = common["n_pad"]
         if name == "vanilla":
-            return identity_apply, None, 0.0
+            # z = 1.0 * r elementwise — numerically exact identity.
+            # Passing identity_apply (z aliases r) makes XLA's CSE
+            # produce a ~6x-roofline fixed-trip loop (measured 3.06
+            # vs 0.38 ms/trip); the ones-diagonal sidesteps it.
+            ones = jnp.ones_like(common["d_sqrt"])
+            return _diag_apply, ones, 0.0
 
         if name == "jacobi":
-            def build():
+            def build(jitter):
                 return _jacobi_setup_batched(
-                    common["d_sqrt"], common["n0"]
+                    common["d_sqrt"] + jitter, common["n0"]
                 )
             apply_fn = _diag_apply
 
@@ -1034,7 +1072,8 @@ class BenchmarkSuite:
             # timed setup (the host factor work IS the setup, as in the
             # per-case protocol); the device pass materializes
             # M = P(L)^T P(L) with MXU matmuls
-            def build():
+            def build(jitter):
+                del jitter  # host factorization dominates; single rep
                 ls = np.zeros(
                     (len(common["a_sps"]), n_pad, n_pad), np.float32
                 )
@@ -1060,12 +1099,13 @@ class BenchmarkSuite:
             width, _, _ = self._fsai_meta(n_pad, self.fsai_power)
             groups = self._batched_fsai_inputs(self.fsai_power, width)
 
-            def build():
+            def build(jitter):
                 return self._dense_m_from_groups(
                     groups, chunk,
                     functools.partial(
                         _fsai_dense_setup_chunk, dtype=self.dtype
                     ),
+                    jitter=jitter,
                 )
             apply_fn = _dense_apply_batched
 
@@ -1083,29 +1123,46 @@ class BenchmarkSuite:
             groups = self._batched_fsai_inputs(power, self.model.width)
             params = self.params
 
-            def build():
+            def build(jitter):
                 return self._dense_m_from_groups(
                     groups, chunk,
                     functools.partial(
                         _learned_dense_setup_chunk, model, params,
                         dtype=self.dtype,
                     ),
+                    jitter=jitter,
                 )
             apply_fn = _dense_apply_batched
 
         else:
             raise ValueError(f"technique {name} has no batched protocol")
 
-        m = build()  # warm-up (compile)
+        # bf16 M storage: fsai/learned only — their M has kappa(MA) ~ 9-30
+        # and tolerates the ~4e-3 cast; the Neumann-IC G^T G spans a much
+        # wider dynamic range and loses convergence on marginal cases
+        if (m_dtype is not None and apply_fn is _dense_apply_batched
+                and name != "incomplete_cholesky_neumann"):
+            inner_build = build
+
+            def build(jitter):
+                return inner_build(jitter).astype(m_dtype)
+
+        zero = jnp.zeros((), self.dtype)
+        m = build(zero)  # warm-up (compile)
         jax.block_until_ready(m)
         start = time.perf_counter()
         for _ in range(setup_reps):
-            m = build()
+            m = build(zero)
+            # zero-valued scalar DEPENDENT on this rep's output: chains
+            # the reps and defeats repeat-dispatch caching (see
+            # _dense_m_from_groups docstring)
+            zero = (m.ravel()[0] * 0).astype(self.dtype)
         jax.block_until_ready(m)
         return apply_fn, m, (time.perf_counter() - start) / setup_reps
 
     def run_batched(self, techniques=None, reps: int = 10,
-                    setup_reps: int = 5, chunk: int = 20,
+                    setup_reps: int = 20, chunk: int = 20,
+                    m_dtype=jnp.bfloat16,
                     verbose: bool = False) -> dict:
         """Run the batched protocol; fills ``self.batched`` and returns it.
 
@@ -1125,23 +1182,49 @@ class BenchmarkSuite:
         a_data = (common["a_tilde"], common["d_sqrt"])
         n_cases = len(self.data_set)
         for name in techniques:
-            apply_fn, m_data, setup_s = self._batched_setup(
-                name, setup_reps, chunk
-            )
             ce = self._BATCHED_CHECK_EVERY.get(name, 8)
-            res = batched_preconditioned_conjugate_gradient(
-                _scaled_dense_matvec, a_data, common["b"],
-                apply_fn, m_data, rtol=self.rtol,
-                max_iter=self.max_iter, check_every=ce,
-            )
-            jax.block_until_ready(res)
-            start = time.perf_counter()
-            for _ in range(reps):
-                res = batched_preconditioned_conjugate_gradient(
+            # bf16 M storage first; a bf16-rounded M can lose positive
+            # definiteness on ill-conditioned cases, so the warm-up
+            # verifies convergence and falls back to f32 per technique
+            attempts = [m_dtype, None] if m_dtype is not None else [None]
+            for attempt in attempts:
+                apply_fn, m_data, setup_s = self._batched_setup(
+                    name, setup_reps, chunk, m_dtype=attempt
+                )
+                # untimed warm-up: compiles AND measures the trips the
+                # slowest case needs (analogous to excluding compilation)
+                warm = batched_preconditioned_conjugate_gradient(
                     _scaled_dense_matvec, a_data, common["b"],
                     apply_fn, m_data, rtol=self.rtol,
                     max_iter=self.max_iter, check_every=ce,
                 )
+                jax.block_until_ready(warm)
+                if bool((np.asarray(warm.residual) < self.rtol).all()):
+                    break
+            trips = int(
+                min(np.asarray(warm.iterations).max() + 2, self.max_iter)
+            )
+            # timed protocol: fixed-trip dispatch (no data-dependent
+            # while conditions — ~2 ms per evaluation on a tunneled
+            # chip); per-case iteration counts and convergence are
+            # re-verified from the fixed-trip result below
+            res = batched_pcg_fixed_trips(
+                _scaled_dense_matvec, a_data, common["b"],
+                apply_fn, m_data, rtol=self.rtol,
+                max_iter=self.max_iter, trips=trips,
+            )
+            jax.block_until_ready(res)
+            start = time.perf_counter()
+            b_rep = common["b"]
+            for _ in range(reps):
+                res = batched_pcg_fixed_trips(
+                    _scaled_dense_matvec, a_data, b_rep,
+                    apply_fn, m_data, rtol=self.rtol,
+                    max_iter=self.max_iter, trips=trips,
+                )
+                # chain reps through a zero-valued dependency on the
+                # previous solve (see _dense_m_from_groups docstring)
+                b_rep = common["b"] + res.x.ravel()[0] * 0
             jax.block_until_ready(res)
             solve_s = (time.perf_counter() - start) / reps
             iters = np.asarray(res.iterations)
@@ -1150,6 +1233,7 @@ class BenchmarkSuite:
             self.batched[name] = {
                 "iterations": float(iters.mean()),
                 "iterations_max": int(iters.max()),
+                "trips": trips,
                 "setup_batch": setup_s,
                 "solve_batch": solve_s,
                 "total_batch": setup_s + solve_s,
@@ -1174,7 +1258,7 @@ class BenchmarkSuite:
         if not self.batched:
             return
         self.results_directory.mkdir(parents=True, exist_ok=True)
-        keys = ["iterations", "iterations_max", "setup_batch",
+        keys = ["iterations", "iterations_max", "trips", "setup_batch",
                 "solve_batch", "total_batch", "per_case_total",
                 "per_case_solve", "success", "cases"]
         with (self.results_directory / "batched.csv").open("w") as fio:

@@ -178,6 +178,7 @@ def neural_fsai_dense_preconditioner(
     scales: jax.Array,
     n0,
     dtype=jnp.float32,
+    precision=None,
 ) -> jax.Array:
     """Single-sample deployed setup: model forward -> dense effective
     preconditioner on the RAW system (scaling folded, padding masked) —
@@ -194,11 +195,14 @@ def neural_fsai_dense_preconditioner(
         )
         d_sqrt = jnp.sqrt(scales.astype(dtype))
         a_raw = d_sqrt[:, None] * operand.astype(dtype) * d_sqrt[None, :]
-        return poly_preconditioner_from_gram(s_eff, a_raw, out.q_coeffs)
+        return poly_preconditioner_from_gram(
+            s_eff, a_raw, out.q_coeffs, precision=precision
+        )
     a_dense = fsai_dense_from_l0(plan, operand.astype(dtype))
     c_dense = fsai_dense_factor(plan, out.c_vals)
     return poly_preconditioner_dense(
-        c_dense, a_dense, out.q_coeffs, d_isqrt=d_isqrt, n0=n0
+        c_dense, a_dense, out.q_coeffs, d_isqrt=d_isqrt, n0=n0,
+        precision=precision,
     )
 
 
