@@ -97,8 +97,14 @@ def _irregular_split(model, model_params, root: Path) -> dict:
 
 def _spmv_throughput() -> dict:
     """Banded SpMV Gnnz/s via the Pallas DIA kernel on 3-D 7-point
-    Poisson (the BASELINE.md roofline family), single chip.  Timing is
-    dependency-chained with one final sync."""
+    Poisson (the BASELINE.md roofline family), single chip.
+
+    Kernel timing: K matvecs dependency-chained INSIDE one jit, outer
+    reps chained across dispatches, one final sync — per-dispatch
+    tunnel overhead (~0.5-1.3 ms) otherwise swamps small grids (a 512^2
+    SpMV moves 7.5 MB ~ 10 us of HBM time; VERDICT r2 weak #9)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -108,6 +114,24 @@ def _spmv_throughput() -> dict:
     from deeppreconditioning_tpu.ops.pallas_stencil import (
         poisson3d_stencil_matvec,
     )
+
+    K = 10
+
+    @jax.jit
+    def chain_dia(a, x):
+        for _ in range(K):
+            x = dia_matvec(a, x)
+        return x
+
+    def timed(fn, *args, x0=None):
+        x = fn(*args, x0)
+        jax.block_until_ready(x)
+        outer = 10
+        start = time.perf_counter()
+        for _ in range(outer):
+            x = fn(*args, x)
+        jax.block_until_ready(x)
+        return (time.perf_counter() - start) / (outer * K)
 
     out = {}
     for label, shape in (("spmv_2d_512", (512, 512)),
@@ -119,14 +143,7 @@ def _spmv_throughput() -> dict:
             np.random.default_rng(0).standard_normal(a.n_pad),
             jnp.float32,
         )
-        y = dia_matvec(a, x)
-        y.block_until_ready()
-        iters = 100
-        start = time.perf_counter()
-        for _ in range(iters):
-            x = dia_matvec(a, x)
-        x.block_until_ready()
-        dt = (time.perf_counter() - start) / iters
+        dt = timed(chain_dia, a, x0=x)
         out[label] = {
             "n": a.n,
             "nnz": nnz,
@@ -139,14 +156,14 @@ def _spmv_throughput() -> dict:
             # lane-hostile, while XLA fuses pad+shifts on contiguous
             # power-of-two grids into one streaming kernel (measured
             # 99 vs 65 Gnnz/s at 256^3, dependency-chained)
+            @functools.partial(jax.jit, static_argnames=("shp",))
+            def chain_stencil(shp, xs):
+                for _ in range(K):
+                    xs = poisson3d_stencil_matvec(xs, shp)
+                return xs
+
             xs = x[: shape[0] * shape[1] * shape[2]]
-            xs = poisson3d_stencil_matvec(xs, shape)
-            xs.block_until_ready()
-            start = time.perf_counter()
-            for _ in range(iters):
-                xs = poisson3d_stencil_matvec(xs, shape)
-            xs.block_until_ready()
-            dt = (time.perf_counter() - start) / iters
+            dt = timed(chain_stencil, shape, x0=xs)
             out[label + "_stencil"] = {
                 "gnnz_per_s": round(nnz / dt / 1e9, 3),
                 "us": round(dt * 1e6, 1),
@@ -213,6 +230,9 @@ def main() -> None:
         data_set, model, model_params,
         techniques=techniques,
         kappa_cases=0,
+        timing_reps=10,  # honest chained reps are real work per rep;
+        # 10 keeps the ~35ms sync amortized to ~3.5ms across the rep
+        # block while holding bench wall time within the driver budget
         results_directory=REPO / "assets" / "results",
         **suite_kwargs,
     )
@@ -227,6 +247,37 @@ def main() -> None:
             "success": stats["success"],
         }
         for name, stats in summary.items()
+    }
+
+    # TPU-native batched protocol: the whole test split in one compiled
+    # setup + one fixed-trip PCG dispatch per technique (suite.run_batched)
+    batched = suite.run_batched()
+    suite.dump_csv_batched()
+    details["batched"] = {
+        name: {
+            "iterations": round(stats["iterations"], 2),
+            "setup_ms": round(stats["setup_batch"] * 1e3, 2),
+            "solve_ms": round(stats["solve_batch"] * 1e3, 2),
+            "total_ms": round(stats["total_batch"] * 1e3, 2),
+            "per_case_us": round(stats["per_case_total"] * 1e6, 1),
+            "success": stats["success"],
+        }
+        for name, stats in batched.items()
+    }
+    if "learned" in batched:
+        details["batched"]["learned_vs_jacobi"] = round(
+            batched["jacobi"]["total_batch"]
+            / batched["learned"]["total_batch"], 4
+        )
+        details["batched"]["learned_vs_fsai"] = round(
+            batched["fsai"]["total_batch"]
+            / batched["learned"]["total_batch"], 4
+        )
+    # untimed input-prep cost (pattern powers + plan builds), reported
+    # next to setup as the reference times full construction
+    details["input_prep_s"] = {
+        k: round(v, 3)
+        for k, v in getattr(suite, "prep_seconds", {}).items()
     }
     details.update(_irregular_split(
         model if params.model == "NeuralFSAI" else None,

@@ -534,6 +534,7 @@ class BenchmarkSuite:
         if cache is None:
             cache = self._fsai_meta_cache = {}
         if power not in cache:
+            prep_start = time.perf_counter()
             ds_width, spread = 1, 1
             pats = []
             # range-path eligibility cutoff: one permuted/unstructured
@@ -564,7 +565,19 @@ class BenchmarkSuite:
                 int(np.ceil(spread / 128) * 128),
                 {p[0]: p[1:] for p in pats},
             )
+            self._add_prep("pattern", time.perf_counter() - prep_start)
         return cache[power]
+
+    def _add_prep(self, stage: str, seconds: float) -> None:
+        """Accumulate untimed input-prep cost (pattern powers, plan
+        builds) so it can be *reported* next to the setup column — the
+        reference times full construction (test.py:128-135); here
+        sparsity-only pattern/plan artifacts are reusable input prep,
+        but their cost must be visible (VERDICT r2 weak #6)."""
+        prep = getattr(self, "prep_seconds", None)
+        if prep is None:
+            prep = self.prep_seconds = {}
+        prep[stage] = prep.get(stage, 0.0) + seconds
 
     def _fsai_plan(self, batch, ell, width=None, power=None):
         """Per-case FSAI plan + untimed input artifacts.
@@ -592,6 +605,10 @@ class BenchmarkSuite:
         else:
             while len(cache) >= 4:
                 cache.popitem(last=False)
+            prep_start = time.perf_counter()
+            pat_before = getattr(self, "prep_seconds", {}).get(
+                "pattern", 0.0
+            )
             ds_width, range_h, pats = self._fsai_meta(ell.n_pad, power)
             eff_width = ds_width if width is None else width
             self._fsai_range_h = range_h
@@ -642,6 +659,12 @@ class BenchmarkSuite:
                 cache[key] = (
                     "generic", plan, batch.features[0, :, 0], scales0,
                 )
+            pat_dt = getattr(self, "prep_seconds", {}).get(
+                "pattern", 0.0
+            ) - pat_before
+            self._add_prep(
+                "plan", time.perf_counter() - prep_start - pat_dt
+            )
         return cache[key]
 
     @staticmethod
@@ -663,6 +686,9 @@ class BenchmarkSuite:
             self._n0_dev = jnp.int32(n0)
             self._n0_cache = n0
         kind, plan, operand, scales0 = self._fsai_plan(batch, ell)
+        jit0 = getattr(self, "_timing_jitter", None)
+        if jit0 is not None:
+            scales0 = scales0 + jit0  # see run(): chained timing reps
         setup_fn = (_fsai_range_setup_device if kind == "range"
                     else _fsai_setup_device)
         m = setup_fn(
@@ -703,6 +729,9 @@ class BenchmarkSuite:
             batch, ell, width=self.model.width,
             power=self.learned_power or None,
         )
+        jit0 = getattr(self, "_timing_jitter", None)
+        if jit0 is not None:
+            scales0 = scales0 + jit0  # see run(): chained timing reps
         m = _neural_fsai_setup_device(
             self.model, self.params, plan, operand, scales0,
             self._n0_dev, dtype=self.dtype,
@@ -734,18 +763,21 @@ class BenchmarkSuite:
         if getattr(self, "_n0_cache", None) != n0:
             self._n0_dev = jnp.int32(n0)
             self._n0_cache = n0
+        jit0 = getattr(self, "_timing_jitter", None)
+        scales = (batch.scales if jit0 is None
+                  else batch.scales + jit0)  # chained timing reps
         if self.learned_apply == "factor":
             plan = self._learned_plan(batch, ell)
             vals = _learned_factor_values(
                 self.model, self.params, batch.features, batch.plans,
-                batch.scales, self._n0_dev, dtype=self.dtype,
+                scales, self._n0_dev, dtype=self.dtype,
             )
             apply_m, m_data = factor_normal_apply, (plan, vals)
             m = None
         else:
             m, nnz = _learned_setup_device(
                 self.model, self.params, batch.features, batch.plans,
-                batch.scales, self._n0_dev, dtype=self.dtype,
+                scales, self._n0_dev, dtype=self.dtype,
             )
             assert m.shape[0] == ell.n_pad, (
                 "suite expects dataset-global padding == solver padding"
@@ -833,14 +865,28 @@ class BenchmarkSuite:
                     a_sp, batch, ell, False, timing=True
                 )
                 jax.block_until_ready(m_data)
+                # chained timing reps: each rep's device-setup input is
+                # perturbed by a zero-valued scalar depending on the
+                # previous rep's output, so the tunneled runtime cannot
+                # serve repeats from cache nor overlap them (see
+                # _dense_m_from_groups)
+                self._timing_jitter = jnp.zeros((), self.dtype)
                 start = time.perf_counter()
                 for _ in range(self.timing_reps):
                     apply_m, m_data, _, _ = setup_fn(
                         a_sp, batch, ell, need_dense, timing=True
                     )
+                    flt = [x for x in jax.tree.leaves(m_data)
+                           if hasattr(x, "dtype")
+                           and jnp.issubdtype(x.dtype, jnp.floating)]
+                    if flt:
+                        self._timing_jitter = (
+                            flt[0].ravel()[0] * 0
+                        ).astype(self.dtype)
                 jax.block_until_ready(m_data)
                 setup = ((time.perf_counter() - start) /
                          self.timing_reps if name != "vanilla" else 0.0)
+                self._timing_jitter = None
                 # statistics pass, outside the timed region
                 apply_m, m_data, density, m_sp = setup_fn(
                     a_sp, batch, ell, need_dense
@@ -850,12 +896,14 @@ class BenchmarkSuite:
                 # warm-up (compile+transfer) then amortized timed runs
                 res = self._solve(ell, b_dev, apply_m, m_data)
                 start = time.perf_counter()
+                b_rep = b_dev
                 for _ in range(self.timing_reps):
                     res = preconditioned_conjugate_gradient(
-                        ell_matvec, ell, b_dev, apply_m, m_data,
+                        ell_matvec, ell, b_rep, apply_m, m_data,
                         rtol=self.rtol, max_iter=self.max_iter,
                         check_every=self.check_every,
                     )
+                    b_rep = b_dev + res.x[0] * 0  # chain reps
                 jax.block_until_ready(res)
                 duration = (
                     time.perf_counter() - start
@@ -960,6 +1008,10 @@ class BenchmarkSuite:
         key = (power, width)
         if key in cache:
             return cache[key]
+        prep_start = time.perf_counter()
+        pat_before = getattr(self, "prep_seconds", {}).get(
+            "pattern", 0.0
+        )
         common = self._batched_common()
         n_pad = common["n_pad"]
         _, range_h, pats = self._fsai_meta(n_pad, power)
@@ -1002,6 +1054,12 @@ class BenchmarkSuite:
                 np.stack([o for _, _, o in items]), self.dtype))
             groups.append((idx, plan_stack, operands, kind))
         cache[key] = groups
+        pat_dt = getattr(self, "prep_seconds", {}).get(
+            "pattern", 0.0
+        ) - pat_before
+        self._add_prep(
+            "plan", time.perf_counter() - prep_start - pat_dt
+        )
         return groups
 
     def _dense_m_from_groups(self, groups, chunk, setup_fn, jitter=None):
