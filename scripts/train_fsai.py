@@ -96,6 +96,9 @@ def main() -> None:
     parser.add_argument("--init-from", default=None,
                         help="warm-start params from this checkpoint "
                         "(same width/hidden/poly-degree)")
+    parser.add_argument("--family", default=None,
+                        help="dataset family under data_root (e.g. "
+                        "frame_structures for the StAn-like split)")
     args = parser.parse_args()
 
     mesh = None
@@ -111,12 +114,14 @@ def main() -> None:
 
     specs = plan_builder_for("NeuralFSAI", None)
     dataset_cls = get_dataset_class(params.data)
+    extra_kwargs = {"family": args.family} if args.family else {}
     full = dataset_cls(
         stage="train",
         batch_size=params.batch_size,
         specs=specs,
         root=Path(params.data_root),
         seed=params.seed,
+        **extra_kwargs,
     )
     n_batches = len(full)
     n_val = max(1, n_batches * 5 // 100)
