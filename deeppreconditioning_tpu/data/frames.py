@@ -82,6 +82,8 @@ def _rotation_for_axis(axis: int) -> np.ndarray:
 def generate_frame_case(
     rng: np.random.Generator,
     max_dof: int = 2000,
+    dims: tuple | None = None,
+    solve: bool = True,
 ) -> FVMCase:
     """Generate one frame-structure stiffness system K u = f.
 
@@ -90,14 +92,18 @@ def generate_frame_case(
     nodes grounded (their dof removed), random nodal load vector, CG
     ground truth (atol 1e-6, the reference protocol,
     generate_data.py:107)."""
-    while True:
-        nx = int(rng.integers(2, 6))
-        ny = int(rng.integers(2, 6))
-        nz = int(rng.integers(2, 7))
+    if dims is not None:
+        nx, ny, nz = dims
         n_nodes = nx * ny * nz
-        free_nodes = n_nodes - nx * ny  # base layer grounded
-        if 300 <= 6 * free_nodes <= max_dof:
-            break
+    else:
+        while True:
+            nx = int(rng.integers(2, 6))
+            ny = int(rng.integers(2, 6))
+            nz = int(rng.integers(2, 7))
+            n_nodes = nx * ny * nz
+            free_nodes = n_nodes - nx * ny  # base layer grounded
+            if 300 <= 6 * free_nodes <= max_dof:
+                break
 
     def nid(i, j, k):
         return (k * ny + j) * nx + i
@@ -166,9 +172,12 @@ def generate_frame_case(
     n = k_red.shape[0]
     f = rng.standard_normal(n)
     f = f / np.abs(f).max()
-    u, info = sp.linalg.cg(
-        k_red.tocsr(), f, atol=1e-6, rtol=0.0, maxiter=200000
-    )
-    assert info == 0, f"frame ground-truth CG diverged (info={info})"
+    if solve:
+        u, info = sp.linalg.cg(
+            k_red.tocsr(), f, atol=1e-6, rtol=0.0, maxiter=200000
+        )
+        assert info == 0, f"frame ground-truth CG diverged (info={info})"
+    else:  # operator benchmarks need no ground truth
+        u = np.zeros_like(f)
     return FVMCase(matrix=k_red, rhs=f, solution=u,
                    shape_2d=(nx * ny, nz))

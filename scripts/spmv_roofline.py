@@ -95,39 +95,97 @@ def main() -> None:
         writer.writerows(rows_out)
     print(f"wrote {out}")
 
-    # block-sparse engine (sparse/bsr.py + ops/pallas_bsr.py) on the
-    # castellated 3-D family — the general-pattern operator path for
-    # systems where voids break the pure-diagonal DIA layout; measured
-    # as block-data streaming rate (the kernel is HBM-bound on blocks)
+    # block-sparse engine (sparse/bsr.py + ops/pallas_bsr.py).  BSR is
+    # the operator format for matrices with dense BLOCK substructure —
+    # multi-dof-per-node discretizations like the frame-structure family
+    # (data/frames.py, 6 dof/node).  Point stencils stored as BSR are a
+    # deliberate format-mismatch demonstration: a 7-point row fills <6%
+    # of a 128-block, so nnz-rate collapses while block streaming stays
+    # at the kernel's rate — both columns are reported so the mismatch
+    # is visible, plus a block-dense design-point row (the honest kernel
+    # roofline) and a large frame operator (the real consumer).
+    import scipy.sparse as sp
+
+    from deeppreconditioning_tpu.data.frames import generate_frame_case
     from deeppreconditioning_tpu.data.fvm import generate_sludge_case_3d
     from deeppreconditioning_tpu.ops.pallas_bsr import bsr_matvec_pallas
     from deeppreconditioning_tpu.sparse.bsr import BSRMatrix
 
-    bsr_rows = []
-    for g in (32, 48, 64):
-        case = generate_sludge_case_3d(
-            np.random.default_rng(7), dims=(g, g, g),
-            max_cells=g ** 3, solve=False,
-        )
-        a_sp = case.matrix.tocsr()
-        n = a_sp.shape[0]
+    def time_bsr(a, x, k=10):
+        """K kernel calls dependency-chained inside one jit (dispatch
+        overhead otherwise dominates sub-ms kernels on the tunnel)."""
+        import functools
+
+        @jax.jit
+        def chain(xv):
+            for _ in range(k):
+                xv = bsr_matvec_pallas(a, xv)[: x.shape[0]]
+            return xv
+        xv = chain(x)
+        jax.block_until_ready(xv)
+        outer = 5
+        start = time.perf_counter()
+        for _ in range(outer):
+            xv = chain(xv)
+        jax.block_until_ready(xv)
+        return (time.perf_counter() - start) / (outer * k)
+
+    def bsr_row(label, a_sp):
         a = BSRMatrix.from_scipy(a_sp, block_size=128)
         x = jnp.asarray(
             np.random.default_rng(0).standard_normal(a.n_pad),
             jnp.float32,
         )
-        secs = time_kernel(lambda v: bsr_matvec_pallas(a, v), x)
+        secs = time_bsr(a, x)
         block_bytes = int(np.prod(a.blocks.shape)) * 4
-        bsr_rows.append({
-            "grid": g,
-            "n": n,
+        fill = a_sp.nnz / max(int(np.prod(a.blocks.shape)), 1)
+        row = {
+            "operator": label,
+            "n": a_sp.shape[0],
             "nnz": a_sp.nnz,
+            "block_fill": round(fill, 4),
             "bsr_us": round(secs * 1e6, 1),
             "bsr_gnnz_s": round(a_sp.nnz / secs / 1e9, 2),
             "bsr_block_gb_s": round(block_bytes / secs / 1e9, 1),
-        })
-        print(bsr_rows[-1], flush=True)
+        }
+        print(row, flush=True)
         del a, x
+        return row
+
+    bsr_rows = []
+    # design point: random block-dense operator (every stored 128-block
+    # full) — the kernel's honest streaming roofline
+    rng = np.random.default_rng(5)
+    nb, per_row = 512, 8  # 65k rows, 8 dense blocks each = 268M nnz/8
+    rows_idx = np.repeat(np.arange(nb), per_row)
+    cols_idx = rng.integers(0, nb, size=nb * per_row)
+    dense_blocks = rng.standard_normal(
+        (nb * per_row, 128, 128)
+    ).astype(np.float32)
+    a_dense_blocks = sp.bsr_matrix(
+        (dense_blocks, cols_idx, np.arange(0, nb * per_row + 1,
+                                           per_row)),
+        shape=(nb * 128, nb * 128),
+    ).tocsr()
+    bsr_rows.append(bsr_row("block_dense_512x8", a_dense_blocks))
+    del a_dense_blocks, dense_blocks
+
+    # real consumer: large frame-structure stiffness operator
+    # (30x30x20 nodes -> ~104k free dof, 6-dof blocks)
+    frame = generate_frame_case(
+        np.random.default_rng(9), dims=(30, 30, 20), solve=False
+    )
+    big = frame.matrix.tocsr()
+    bsr_rows.append(bsr_row("frame_structure", big))
+
+    # format-mismatch demonstration: point stencil in BSR
+    for g in (48, 64):
+        case = generate_sludge_case_3d(
+            np.random.default_rng(7), dims=(g, g, g),
+            max_cells=g ** 3, solve=False,
+        )
+        bsr_rows.append(bsr_row(f"stencil_{g}cubed",
+                                case.matrix.tocsr()))
     out2 = Path("assets/results/spmv_bsr.csv")
     with out2.open("w") as fio:
         writer = csv.DictWriter(fio, fieldnames=list(bsr_rows[0]))
