@@ -1208,15 +1208,20 @@ class BenchmarkSuite:
         zero = jnp.zeros((), self.dtype)
         m = build(zero)  # warm-up (compile)
         jax.block_until_ready(m)
-        start = time.perf_counter()
-        for _ in range(setup_reps):
-            m = build(zero)
-            # zero-valued scalar DEPENDENT on this rep's output: chains
-            # the reps and defeats repeat-dispatch caching (see
-            # _dense_m_from_groups docstring)
-            zero = (m.ravel()[0] * 0).astype(self.dtype)
-        jax.block_until_ready(m)
-        return apply_fn, m, (time.perf_counter() - start) / setup_reps
+        block_times = []
+        for _ in range(2):  # best-of-two (see run_batched solve note)
+            start = time.perf_counter()
+            for _ in range(max(setup_reps // 2, 1)):
+                m = build(zero)
+                # zero-valued scalar DEPENDENT on this rep's output:
+                # chains the reps and defeats repeat-dispatch caching
+                # (see _dense_m_from_groups docstring)
+                zero = (m.ravel()[0] * 0).astype(self.dtype)
+            jax.block_until_ready(m)
+            block_times.append(
+                (time.perf_counter() - start) / max(setup_reps // 2, 1)
+            )
+        return apply_fn, m, min(block_times)
 
     def run_batched(self, techniques=None, reps: int = 10,
                     setup_reps: int = 20, chunk: int = 20,
@@ -1272,19 +1277,28 @@ class BenchmarkSuite:
                 max_iter=self.max_iter, trips=trips,
             )
             jax.block_until_ready(res)
-            start = time.perf_counter()
-            b_rep = common["b"]
-            for _ in range(reps):
-                res = batched_pcg_fixed_trips(
-                    _scaled_dense_matvec, a_data, b_rep,
-                    apply_fn, m_data, rtol=self.rtol,
-                    max_iter=self.max_iter, trips=trips,
+            # two independent timing blocks, best-of-two: the tunneled
+            # runtime occasionally executes an identical program ~3-8x
+            # slower for a stretch (observed on identical executables
+            # and inputs); min-of-blocks is the standard defense
+            block_times = []
+            for _ in range(2):
+                start = time.perf_counter()
+                b_rep = common["b"]
+                for _ in range(max(reps // 2, 1)):
+                    res = batched_pcg_fixed_trips(
+                        _scaled_dense_matvec, a_data, b_rep,
+                        apply_fn, m_data, rtol=self.rtol,
+                        max_iter=self.max_iter, trips=trips,
+                    )
+                    # chain reps through a zero-valued dependency on
+                    # the previous solve (see _dense_m_from_groups)
+                    b_rep = common["b"] + res.x.ravel()[0] * 0
+                jax.block_until_ready(res)
+                block_times.append(
+                    (time.perf_counter() - start) / max(reps // 2, 1)
                 )
-                # chain reps through a zero-valued dependency on the
-                # previous solve (see _dense_m_from_groups docstring)
-                b_rep = common["b"] + res.x.ravel()[0] * 0
-            jax.block_until_ready(res)
-            solve_s = (time.perf_counter() - start) / reps
+            solve_s = min(block_times)
             iters = np.asarray(res.iterations)
             ok = np.asarray(res.residual) < self.rtol
             del m_data

@@ -23,6 +23,8 @@ setup executable serves every case.
 
 from __future__ import annotations
 
+import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -567,21 +569,87 @@ def build_range_fsai_plan(
 
 def _masked_gauss_jordan(sub: jax.Array, e: jax.Array) -> jax.Array:
     """Gauss-Jordan via iota masks (no .at[] row writes — each step is
-    one fused VPU pass instead of copy-heavy dynamic updates)."""
+    one fused VPU pass instead of copy-heavy dynamic updates).
+
+    On TPU the w dependent steps would each round-trip the (B, w, w+1)
+    augmented system through HBM (the pivot-row broadcast defeats XLA's
+    elementwise fusion) — w ~ 21 turns a 2 MB problem into ~160 MB of
+    traffic per batch.  The Pallas path tiles rows into VMEM and runs
+    the whole elimination in-register, reading sub/e once and writing y
+    once.  Dispatched at trace time; CPU/tests keep the pure-XLA form.
+    """
+    if (sub.ndim == 3 and GJ_PALLAS_ENABLED
+            and jax.default_backend() == "tpu"):
+        return _masked_gauss_jordan_pallas(sub, e)
+    return _masked_gauss_jordan_xla(sub, e)
+
+
+# kill switch: the in-VMEM kernel is numerically identical to the XLA
+# form (tests/test_fsai.py interpret-mode check), but the current
+# platform's remote Mosaic compile-helper hangs indefinitely on the
+# w-step unrolled elimination (observed twice on a free chip, no
+# diagnostics) — default OFF until the toolchain digests it
+GJ_PALLAS_ENABLED = False
+
+
+def _masked_gauss_jordan_xla(sub: jax.Array, e: jax.Array) -> jax.Array:
     w = sub.shape[-1]
-    aug = jnp.concatenate([sub, e[:, :, None]], axis=2)  # (B, w, w+1)
+    aug = jnp.concatenate([sub, e[..., :, None]], axis=-1)  # (B, w, w+1)
     row_iota = jnp.arange(w)
     for k in range(w):
-        pivot = aug[:, k, k][:, None]
-        row_k = aug[:, k, :] / pivot  # (B, w+1)
+        pivot = aug[..., k, k][..., None]
+        row_k = aug[..., k, :] / pivot  # (B, w+1)
         col_k = jnp.where(
-            (row_iota == k)[None, :], 0.0, aug[:, :, k]
+            (row_iota == k), 0.0, aug[..., :, k]
         )  # (B, w)
-        aug = aug - col_k[:, :, None] * row_k[:, None, :]
+        aug = aug - col_k[..., :, None] * row_k[..., None, :]
         aug = jnp.where(
-            (row_iota == k)[None, :, None], row_k[:, None, :], aug
+            (row_iota == k)[:, None], row_k[..., None, :], aug
         )
-    return aug[:, :, w]
+    return aug[..., :, w]
+
+
+def _gj_kernel(sub_ref, e_ref, y_ref, *, w: int):
+    a = sub_ref[...]  # (T, w, w)
+    rhs = e_ref[...]  # (T, w)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    for k in range(w):
+        inv = 1.0 / a[:, k, k]  # (T,)
+        row_k = a[:, k, :] * inv[:, None]  # (T, w)
+        rhs_k = rhs[:, k] * inv  # (T,)
+        # f32 masks throughout: Mosaic cannot minor-dim-broadcast i1
+        mask = (row_iota == k).astype(a.dtype)  # (1, w)
+        col = a[:, :, k] * (1.0 - mask)  # (T, w), row k zeroed
+        m3 = mask[:, :, None]
+        a = a - col[:, :, None] * row_k[:, None, :]
+        a = a * (1.0 - m3) + m3 * row_k[:, None, :]
+        rhs = rhs - col * rhs_k[:, None]
+        rhs = rhs * (1.0 - mask) + mask * rhs_k[:, None]
+    y_ref[...] = rhs
+
+
+def _masked_gauss_jordan_pallas(
+    sub: jax.Array, e: jax.Array, tile: int = 512
+) -> jax.Array:
+    """In-VMEM batched Gauss-Jordan: grid over row tiles, one read of
+    (T, w, w) + (T, w), w unrolled elimination steps on VMEM-resident
+    values, one write of (T, w)."""
+    from jax.experimental import pallas as pl
+
+    r, w = e.shape
+    if r % tile != 0:
+        tile = math.gcd(r, tile)
+    grid = r // tile
+    return pl.pallas_call(
+        functools.partial(_gj_kernel, w=w),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, w, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tile, w), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, w), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r, w), sub.dtype),
+    )(sub, e)
 
 
 def fsai_values_range(plan: RangeFSAIPlan, a_dense: jax.Array

@@ -33,16 +33,25 @@ def main() -> None:
     )
     parser.add_argument("--checkpoint", type=Path, default=None)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--timing-reps", type=int, default=10)
+    parser.add_argument("--family", default=None,
+                        help="dataset family (e.g. sludge_patterns_3d "
+                        "for the irregular split)")
+    parser.add_argument("--fsai-power", type=int, default=0,
+                        help="override fsai pattern power (0 = default)")
+    parser.add_argument("--results-dir", default=None)
     args = parser.parse_args()
 
     specs = plan_builder_for(params.model, params.channels)
     dataset_cls = get_dataset_class(params.data)
+    ds_kwargs = {"family": args.family} if args.family else {}
     data_set = dataset_cls(
         stage="test",
         batch_size=1,
         specs=specs,
         shuffle=False,
         root=Path(params.data_root),
+        **ds_kwargs,
     )
 
     ckpt_path = args.checkpoint or (
@@ -73,13 +82,21 @@ def main() -> None:
         # the learned technique's pattern power is baked into the
         # checkpoint; the classical fsai baseline keeps its own optimum
         suite_kwargs["learned_power"] = int(payload.get("power", 4)) or 4
+    if args.fsai_power:
+        suite_kwargs["fsai_power"] = args.fsai_power
+        if params.model == "NeuralFSAI":
+            suite_kwargs["learned_power"] = min(
+                suite_kwargs["learned_power"], args.fsai_power
+            )
+    results_dir = Path(args.results_dir or params.results_dir)
     suite = BenchmarkSuite(
         data_set,
         model,
         model_params,
         techniques=techniques,
         kappa_cases=args.kappa_cases,
-        results_directory=Path(params.results_dir),
+        timing_reps=args.timing_reps,
+        results_directory=results_dir,
         **suite_kwargs,
     )
     suite.run(verbose=args.verbose)
@@ -87,7 +104,7 @@ def main() -> None:
     try:  # box plots (reference defines plot_histograms, test.py:157)
         for parameter, figure in suite.plot_histograms():
             figure.savefig(
-                Path(params.results_dir) / f"{parameter}_boxplot.png",
+                results_dir / f"{parameter}_boxplot.png",
                 dpi=120, bbox_inches="tight",
             )
     except ImportError:

@@ -99,6 +99,11 @@ def main() -> None:
     parser.add_argument("--family", default=None,
                         help="dataset family under data_root (e.g. "
                         "frame_structures for the StAn-like split)")
+    parser.add_argument("--plan-kind", default="auto",
+                        choices=["auto", "range", "generic"],
+                        help="FSAI plan kind; 'generic' for families "
+                        "whose pattern spread exceeds the range "
+                        "window on some cases (e.g. frames)")
     args = parser.parse_args()
 
     mesh = None
@@ -127,7 +132,8 @@ def main() -> None:
     n_val = max(1, n_batches * 5 // 100)
     train_set = _SubsetView(full, range(n_batches - n_val))
     val_set = _SubsetView(full, range(n_batches - n_val, n_batches))
-    provider = FSAIPlanProvider(full, power=args.power, width=args.width)
+    provider = FSAIPlanProvider(full, power=args.power,
+                                width=args.width, kind=args.plan_kind)
     model = NeuralFSAI(width=args.width, hidden=args.hidden,
                        poly_degree=args.poly_degree)
 

@@ -263,3 +263,37 @@ def test_fsai_values_lookup_matches_dense_variant():
                                rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(np.asarray(aux_l), np.asarray(aux_d),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_masked_gauss_jordan_pallas_interpret():
+    """The in-VMEM Pallas Gauss-Jordan kernel (TPU batched-setup hot
+    path) matches the XLA form in interpret mode."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from deeppreconditioning_tpu.ops.fsai import (
+        _gj_kernel,
+        _masked_gauss_jordan_xla,
+    )
+
+    rng = np.random.default_rng(0)
+    r, w = 128, 13
+    a = rng.standard_normal((r, w, w)).astype(np.float32)
+    a = a @ a.transpose(0, 2, 1) + 3 * np.eye(w, dtype=np.float32)
+    e = np.zeros((r, w), np.float32)
+    e[np.arange(r), rng.integers(0, w, r)] = 1.0
+    out = pl.pallas_call(
+        partial(_gj_kernel, w=w),
+        grid=1,
+        in_specs=[pl.BlockSpec((r, w, w), lambda i: (0, 0, 0)),
+                  pl.BlockSpec((r, w), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((r, w), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((r, w), jnp.float32),
+        interpret=True,
+    )(jnp.asarray(a), jnp.asarray(e))
+    ref = _masked_gauss_jordan_xla(jnp.asarray(a), jnp.asarray(e))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
