@@ -168,7 +168,14 @@ def _scaled_dense_matvec(a_data, x):
     while the dense contraction streams at HBM bandwidth (measured 5.5
     ms vs ~0.6 ms per iteration over a 100-case batch)."""
     a_tilde, d_sqrt = a_data
-    y = jnp.einsum("bij,bj->bi", a_tilde, d_sqrt * x)
+    # HIGHEST: the CG residual recurrence needs the full f32 product
+    # (bf16 MXU passes stall the hardest frame-family cases above
+    # rtol); the contraction is HBM-bound at these sizes, so the extra
+    # passes are free — measured within noise of DEFAULT
+    y = jnp.einsum(
+        "bij,bj->bi", a_tilde, d_sqrt * x,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return d_sqrt * y
 
 

@@ -42,13 +42,23 @@ def main() -> None:
             np.random.default_rng(0).standard_normal(a.n_pad),
             jnp.float32,
         )
-        secs_dia = time_kernel(lambda v: dia_matvec_pallas(a, v), x)
+        # K calls dependency-chained INSIDE one jit: per-dispatch tunnel
+        # overhead (~0.5-1.3 ms) otherwise swamps sub-ms kernels
+        k_inner = 10
+
+        @jax.jit
+        def chain_dia(v, a=a):
+            for _ in range(k_inner):
+                v = dia_matvec_pallas(a, v)
+            return v
+
+        secs_dia = time_kernel(chain_dia, x, iters=10) / k_inner
         # ideal model: vals + x + y once = (n_diag + 2) words/row.
         # actual HBM traffic additionally re-reads x in the halo
         # overlap: the window per tile is tile + 2*halo_pad wide, so
         # x traffic is (1 + 2*halo/tile)x — count it honestly
-        tile = dia_auto_tile(a.n_pad)
         halo_pad = ((a.halo + 127) // 128) * 128 if a.halo else 0
+        tile = dia_auto_tile(a.n_pad, halo_pad)
         x_factor = 1.0 + 2.0 * halo_pad / tile
         bytes_ideal = (a.vals.shape[0] + 2) * a.n_pad * 4
         bytes_actual = (
@@ -57,9 +67,14 @@ def main() -> None:
         # flat pad-based stencil: measures faster than the ghost-padded
         # layout on v5e ((n+2)-strided slabs are lane-hostile)
         xs = x[:n]
-        secs_st = time_kernel(
-            lambda v: poisson3d_stencil_matvec(v, shape), xs
-        )
+
+        @jax.jit
+        def chain_st(v, shape=shape):
+            for _ in range(k_inner):
+                v = poisson3d_stencil_matvec(v, shape)
+            return v
+
+        secs_st = time_kernel(chain_st, xs, iters=10) / k_inner
         bytes_st = 2 * n * 4
         rows_out.append({
             "grid": g,
@@ -85,7 +100,7 @@ def main() -> None:
             ),
         })
         print(rows_out[-1], flush=True)
-        del a, x, xp
+        del a, x, xs
 
     out = Path("assets/results/spmv_roofline.csv")
     out.parent.mkdir(parents=True, exist_ok=True)
