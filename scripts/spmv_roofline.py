@@ -9,6 +9,7 @@ Usage: python scripts/spmv_roofline.py
 """
 
 import csv
+import functools
 import sys
 import time
 from pathlib import Path
@@ -43,16 +44,21 @@ def main() -> None:
             jnp.float32,
         )
         # K calls dependency-chained INSIDE one jit: per-dispatch tunnel
-        # overhead (~0.5-1.3 ms) otherwise swamps sub-ms kernels
+        # overhead (~0.5-1.3 ms) otherwise swamps sub-ms kernels.  The
+        # operator rides as an ARGUMENT — a closure constant gets baked
+        # into the compile request (468 MB of vals at 256^3 -> HTTP 413
+        # from the remote compile helper)
         k_inner = 10
 
         @jax.jit
-        def chain_dia(v, a=a):
+        def chain_dia(a_arg, v):
             for _ in range(k_inner):
-                v = dia_matvec_pallas(a, v)
+                v = dia_matvec_pallas(a_arg, v)
             return v
 
-        secs_dia = time_kernel(chain_dia, x, iters=10) / k_inner
+        secs_dia = time_kernel(
+            lambda v: chain_dia(a, v), x, iters=10
+        ) / k_inner
         # ideal model: vals + x + y once = (n_diag + 2) words/row.
         # actual HBM traffic additionally re-reads x in the halo
         # overlap: the window per tile is tile + 2*halo_pad wide, so
@@ -68,13 +74,15 @@ def main() -> None:
         # layout on v5e ((n+2)-strided slabs are lane-hostile)
         xs = x[:n]
 
-        @jax.jit
-        def chain_st(v, shape=shape):
+        @functools.partial(jax.jit, static_argnames=("shp",))
+        def chain_st(v, shp):
             for _ in range(k_inner):
-                v = poisson3d_stencil_matvec(v, shape)
+                v = poisson3d_stencil_matvec(v, shp)
             return v
 
-        secs_st = time_kernel(chain_st, xs, iters=10) / k_inner
+        secs_st = time_kernel(
+            lambda v: chain_st(v, shape), xs, iters=10
+        ) / k_inner
         bytes_st = 2 * n * 4
         rows_out.append({
             "grid": g,
@@ -128,14 +136,18 @@ def main() -> None:
 
     def time_bsr(a, x, k=10):
         """K kernel calls dependency-chained inside one jit (dispatch
-        overhead otherwise dominates sub-ms kernels on the tunnel)."""
-        import functools
+        overhead otherwise dominates sub-ms kernels on the tunnel);
+        operator passed as argument (closure constants bloat the
+        remote-compile request past its body limit)."""
 
         @jax.jit
-        def chain(xv):
+        def chain_a(a_arg, xv):
             for _ in range(k):
-                xv = bsr_matvec_pallas(a, xv)[: x.shape[0]]
+                xv = bsr_matvec_pallas(a_arg, xv)[: x.shape[0]]
             return xv
+
+        def chain(xv):
+            return chain_a(a, xv)
         xv = chain(x)
         jax.block_until_ready(xv)
         outer = 5
