@@ -81,7 +81,11 @@ def _irregular_split(model, model_params, root: Path) -> dict:
         timing_reps=10,
         fsai_power=2,  # 3-D power-4 patterns exceed practical widths
         learned_power=2,
-        results_directory=REPO / "assets" / "results" / "irregular",
+        # driver runs land in their own directory: the committed
+        # assets/results/irregular tables carry the full 6-technique
+        # set with kappas/spectra, which a 4-technique kappa_cases=0
+        # driver pass must not clobber (VERDICT r3 weak #4)
+        results_directory=REPO / "assets" / "results" / "irregular_driver",
     )
     suite.run()
     suite.dump_csv()
@@ -233,7 +237,9 @@ def main() -> None:
         timing_reps=10,  # honest chained reps are real work per rep;
         # 10 keeps the ~35ms sync amortized to ~3.5ms across the rep
         # block while holding bench wall time within the driver budget
-        results_directory=REPO / "assets" / "results",
+        # driver outputs are kept apart from the committed artifacts
+        # (which carry kappas/spectra a kappa_cases=0 pass would lose)
+        results_directory=REPO / "assets" / "results" / "driver",
         **suite_kwargs,
     )
     suite.run()
@@ -264,15 +270,19 @@ def main() -> None:
         }
         for name, stats in batched.items()
     }
-    if "learned" in batched:
-        details["batched"]["learned_vs_jacobi"] = round(
-            batched["jacobi"]["total_batch"]
-            / batched["learned"]["total_batch"], 4
-        )
-        details["batched"]["learned_vs_fsai"] = round(
-            batched["fsai"]["total_batch"]
-            / batched["learned"]["total_batch"], 4
-        )
+    # ratios live apart from the per-technique dicts so consumers
+    # iterating details["batched"].items() only ever see dicts; .get
+    # guards cover a filtered-out technique (ADVICE r3 #3)
+    ratios = {}
+    learned_b = batched.get("learned")
+    if learned_b is not None:
+        for other in ("jacobi", "fsai"):
+            st = batched.get(other)
+            if st is not None:
+                ratios[f"learned_vs_{other}"] = round(
+                    st["total_batch"] / learned_b["total_batch"], 4
+                )
+    details["batched_ratios"] = ratios
     # untimed input-prep cost (pattern powers + plan builds), reported
     # next to setup as the reference times full construction
     details["input_prep_s"] = {
@@ -297,13 +307,50 @@ def main() -> None:
         )
         metric = "jacobi_vs_vanilla_solve_speedup"
 
-    print(json.dumps({
+    # full per-technique dump -> file; the printed line stays compact.
+    # The r3 driver record came back "parsed": null because the one-line
+    # JSON outgrew the driver's ~1.8 KB tail buffer (BENCH_r03.json tail
+    # vs BENCH_r02.json:6) — the driver must see a complete JSON line.
+    out_dir = REPO / "assets" / "results" / "driver"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with (out_dir / "bench_details.json").open("w") as fio:
+        json.dump(details, fio, indent=1)
+
+    def _pick(stats, keys=("iterations", "total_ms")):
+        return {k: round(float(stats[k]), 2) for k in keys if k in stats}
+
+    compact = {
+        "percase": {
+            t: _pick(details[t])
+            for t in ("jacobi", "fsai", "learned") if t in details
+        },
+        "batched": {
+            t: _pick(details["batched"][t])
+            for t in ("jacobi", "fsai", "learned")
+            if t in details["batched"]
+        },
+        "batched_ratios": ratios,
+        "irregular": {
+            t: _pick(details[f"irregular_{t}"])
+            for t in ("jacobi", "learned")
+            if f"irregular_{t}" in details
+        },
+        "spmv_gnnz": {
+            k.removeprefix("spmv_"): details[k]["gnnz_per_s"]
+            for k in details if k.startswith("spmv_")
+        },
+    }
+    if "scaling" in details:
+        compact["scaling"] = details["scaling"]
+    line = json.dumps({
         "metric": metric,
         "value": round(float(speedup), 4),
         "unit": "x",
         "vs_baseline": round(float(speedup), 4),
-        "details": details,
-    }))
+        "details": compact,
+    })
+    assert len(line) < 1500, f"driver line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

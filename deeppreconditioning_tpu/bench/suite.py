@@ -39,6 +39,11 @@ from deeppreconditioning_tpu.models.precond_net import (
     output_to_dense,
 )
 from deeppreconditioning_tpu.ops.amg import amg_apply, build_amg
+from deeppreconditioning_tpu.ops.banded_factor import (
+    band_spread,
+    extract_bands,
+    make_banded_poly_apply,
+)
 from deeppreconditioning_tpu.ops.factor_apply import (
     build_factor_apply_plan,
     factor_normal_apply,
@@ -48,10 +53,14 @@ from deeppreconditioning_tpu.ops.fsai import (
     RangeFSAIPlan,
     build_fsai_plan,
     build_range_fsai_plan,
+    cap_pattern_spread,
     fsai_dense_preconditioner,
     fsai_dense_preconditioner_range,
     pattern_col_width,
+    range_strips_uniform,
+    strips_to_bands,
     tril_power_pattern,
+    window_vector,
 )
 from deeppreconditioning_tpu.ops.ic0 import (
     ic0_factor,
@@ -179,6 +188,24 @@ def _scaled_dense_matvec(a_data, x):
     return d_sqrt * y
 
 
+def _scaled_dense_matvec_fast(a_data, r):
+    """Single-MXU-pass variant of _scaled_dense_matvec (bf16 inputs,
+    f32 accumulation) for use INSIDE preconditioner applies: the
+    polynomial operator B = C^T A C is part of M, not of the CG
+    residual recurrence, so its internal precision only perturbs the
+    (deterministic, iteration-invariant) preconditioner — the HIGHEST
+    6-pass emulation would triple the banded apply's per-iteration
+    cost for no convergence benefit (iteration parity asserted by the
+    warm-up convergence check)."""
+    a_tilde, d_sqrt = a_data
+    y = jnp.einsum(
+        "bij,bj->bi", a_tilde.astype(jnp.bfloat16),
+        (d_sqrt * r).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return d_sqrt * y
+
+
 def _dense_apply_batched(m, r):
     """Batched dense preconditioner apply z = M r (cg.py:81 semantics).
 
@@ -231,11 +258,16 @@ def _fsai_dense_setup_chunk(plans, operands, scales, n0s,
     return jax.vmap(one)(plans, operands, scales, n0s)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "dtype"))
+@functools.partial(jax.jit, static_argnames=("model", "dtype",
+                                             "precision"))
 def _learned_dense_setup_chunk(model, params, plans, operands, scales,
-                               n0s, dtype=jnp.float32):
+                               n0s, dtype=jnp.float32, precision="bf16"):
     """NeuralFSAI batched setup: vmapped model forward + polynomial wrap
-    -> stacked dense effective M on the raw systems."""
+    -> stacked dense effective M on the raw systems.
+
+    ``precision`` follows the attempt dtype of run_batched's bf16->f32
+    fallback: the f32 retry must rebuild M with genuinely-f32 matmuls,
+    not merely drop the storage cast (ADVICE r3 #1)."""
     from deeppreconditioning_tpu.models.neural_fsai import (
         neural_fsai_dense_preconditioner,
     )
@@ -243,10 +275,79 @@ def _learned_dense_setup_chunk(model, params, plans, operands, scales,
     def one(plan, op, s, n0):
         return neural_fsai_dense_preconditioner(
             model, params, plan, op, s, n0, dtype=dtype,
-            precision="bf16",
+            precision=precision,
         )
 
     return jax.vmap(one)(plans, operands, scales, n0s)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "d_max", "dtype",
+                                             "precision"))
+def _learned_banded_setup_chunk(model, params, plans, operands, scales,
+                                n0s, d_max, dtype=jnp.float32,
+                                precision=None):
+    """NeuralFSAI batched setup in band form: vmapped model forward +
+    scaling fold + band extraction.  No dense M is materialized — the
+    polynomial wrap moves into the banded factor apply
+    (ops/banded_factor.make_banded_poly_apply), so the whole setup is
+    the model forward plus one one-hot contraction per case
+    (VERDICT r3 next #2)."""
+
+    def one(plan, op, s, n0):
+        out = model.apply(params, plan, op.astype(dtype))
+        d_isqrt = 1.0 / jnp.sqrt(s.astype(dtype))
+        if isinstance(plan, RangeFSAIPlan):
+            # range plans: column mask on the (n_pad, w) values, then
+            # strips placement; the ROW-indexed scaling fold and n0
+            # row mask apply in the strips window domain (row index =
+            # JB*b + h) via gather-free window reshapes — the direct
+            # d_isqrt[out_rows] form is a batched gather (~20 ms/100
+            # cases), as is the one-hot band extraction (~19 ms)
+            n_pad = plan.local.shape[-2]
+            jb = n_pad // plan.lo.shape[-1]
+            h = plan.range_h
+            vals = out.c_vals * (
+                (plan.out_rows < n_pad)
+                & (jnp.arange(n_pad)[:, None] < n0)
+            )
+            strips = range_strips_uniform(plan, vals)
+            rows_iota = (jb * jnp.arange(n_pad // jb)[:, None]
+                         + jnp.arange(h)[None, :])
+            d_win = window_vector(d_isqrt, jb, h) * (rows_iota < n0)
+            strips = strips * d_win[..., :, None, :]
+            bands = strips_to_bands(strips, jb, d_max)
+        else:
+            bands = extract_bands(plan.out_rows, out.c_vals, d_max,
+                                  d_isqrt=d_isqrt, n0=n0,
+                                  precision=precision)
+        return bands, out.q_coeffs.astype(dtype)
+
+    return jax.vmap(one)(plans, operands, scales, n0s)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "sweeps", "dtype"))
+def _neumann_coo_setup_chunk(rows, cols, vals, n0s, n_pad, sweeps,
+                             dtype=jnp.float32):
+    """Batched Neumann-IC setup from compact COO factors.
+
+    The factors are shipped as (B, nnz_pad) triplets (~50 KB/case) and
+    densified on device — the former host-densified path pushed a
+    (B, n_pad, n_pad) float stack (420 MB for the 100-case split)
+    through the tunnel every build, which dominated the technique's
+    4.4 s batched setup (VERDICT r3 weak #6; the factorization itself
+    is 39 ms).  Sentinel index n_pad drops padding triplets."""
+
+    def densify(r, c, v, n0):
+        l = jnp.zeros((n_pad, n_pad), dtype)
+        l = l.at[r, c].add(v.astype(dtype), mode="drop")
+        live = jnp.arange(n_pad) < n0
+        return l + jnp.diag(jnp.where(live, 0.0, 1.0).astype(dtype))
+
+    l_dense = jax.vmap(densify)(rows, cols, vals, n0s)
+    return _neumann_dense_setup_chunk(
+        l_dense, n0s, sweeps=sweeps, dtype=dtype
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "dtype"))
@@ -312,6 +413,16 @@ class BenchmarkSuite:
     dtype: object = jnp.float32
     learned_apply: str = "dense"  # "dense" (n^2 matvec, best at bench
     # sizes) or "factor" (gather-based z = L (L^T r), best at large n)
+    batched_learned_apply: str = "auto"  # batched-protocol learned
+    # apply: "banded" keeps C in diagonal-major band form (setup =
+    # model forward only, apply = shift-multiply-reduce,
+    # ops/banded_factor.py), "dense" materializes M per case (n^3 MXU
+    # setup), "auto" picks banded when the dataset-global pattern
+    # spread fits banded_spread_cap (FVM orderings do; the permuted
+    # irregular split does not)
+    banded_spread_cap: int = 512  # beyond this band count the banded
+    # apply's (B, D, n) traffic per iteration stops paying for the
+    # saved dense setup
     fsai_power: int = 4  # FSAI pattern = tril(|A|^power); 4 is the
     # measured total-time sweet spot on the FVM suite (23 iters at a
     # dispatch-floor setup; power 5 trades 4 fewer iters for +0.4 ms
@@ -567,9 +678,37 @@ class BenchmarkSuite:
                 if case_spread <= spread_cap:
                     spread = max(spread, case_spread)
                 pats.append((id(b.features), r0, c0, pr, pc, nnz0))
+            range_h = int(np.ceil(spread / 128) * 128)
+            caps = getattr(self, "_fsai_spread_caps", None)
+            if caps is None:
+                caps = self._fsai_spread_caps = {}
+            caps[power] = None
+            if range_h > 128:
+                # pattern-policy spread cap: when the natural spread
+                # barely crosses a 128 lane boundary (e.g. dataset
+                # row-col spread 128 -> block spread ~135 -> H = 256),
+                # dropping the few furthest sub-diagonal entries pins H
+                # one step lower and halves every slab op; taken when
+                # <= 2% of pattern entries go (the distance-furthest
+                # couplings of the operator power, already the weakest
+                # class — the width cap prunes far more by magnitude)
+                h_try = range_h - 128
+                cap = h_try - 8  # static-lo needs spread <= H - JB
+                total = sum(p[3].shape[0] for p in pats)
+                beyond = sum(
+                    int(((p[3] - p[4]) > cap).sum()) for p in pats
+                )
+                if total and beyond <= 0.02 * total:
+                    pats = [
+                        (pid, r0, c0,
+                         *cap_pattern_spread(pr, pc, cap), nnz0)
+                        for pid, r0, c0, pr, pc, nnz0 in pats
+                    ]
+                    range_h = h_try
+                    caps[power] = cap
             cache[power] = (
                 ds_width,
-                int(np.ceil(spread / 128) * 128),
+                range_h,
                 {p[0]: p[1:] for p in pats},
             )
             self._add_prep("pattern", time.perf_counter() - prep_start)
@@ -638,6 +777,9 @@ class BenchmarkSuite:
                     r0, c0, mags, ell.n_pad,
                     power=power, width=eff_width,
                 )
+                spread_cap = self._fsai_spread_caps.get(power)
+                if spread_cap is not None:
+                    pr, pc = cap_pattern_spread(pr, pc, spread_cap)
             try:
                 plan = build_range_fsai_plan(
                     pr, pc, ell.n_pad,
@@ -1036,6 +1178,11 @@ class BenchmarkSuite:
                 pr, pc = tril_power_pattern_capped(
                     r0, c0, mags, n_pad, power=power, width=width
                 )
+                # the width cap rebuilds from scratch — reapply the
+                # dataset-global spread cap so the H choice stays valid
+                spread_cap = self._fsai_spread_caps.get(power)
+                if spread_cap is not None:
+                    pr, pc = cap_pattern_spread(pr, pc, spread_cap)
             try:
                 plan = build_range_fsai_plan(
                     pr, pc, n_pad, width=width,
@@ -1133,26 +1280,35 @@ class BenchmarkSuite:
             apply_fn = _diag_apply
 
         elif name == "incomplete_cholesky_neumann":
-            # host IC(0) factorization + dense stack: both inside the
-            # timed setup (the host factor work IS the setup, as in the
-            # per-case protocol); the device pass materializes
-            # M = P(L)^T P(L) with MXU matmuls
+            # host IC(0) factorization + compact COO transfer: both
+            # inside the timed setup (the host factor work IS the
+            # setup, as in the per-case protocol); the device pass
+            # densifies L and materializes M = P(L)^T P(L) with MXU
+            # matmuls
             def build(jitter):
                 del jitter  # host factorization dominates; single rep
-                ls = np.zeros(
-                    (len(common["a_sps"]), n_pad, n_pad), np.float32
-                )
-                for i, a_sp in enumerate(common["a_sps"]):
-                    l = ic0_factor(a_sp).tocoo()
-                    ls[i, l.row, l.col] = l.data
-                    n0 = a_sp.shape[0]
-                    ls[i, range(n0, n_pad), range(n0, n_pad)] = 1.0
-                l_dev = jnp.asarray(ls)
+                factors = [
+                    ic0_factor(a_sp).tocoo()
+                    for a_sp in common["a_sps"]
+                ]
+                nnz_max = max(f.nnz for f in factors)
+                b_cases = len(factors)
+                rows = np.full((b_cases, nnz_max), n_pad, np.int32)
+                cols_h = np.full((b_cases, nnz_max), n_pad, np.int32)
+                vals = np.zeros((b_cases, nnz_max), np.float32)
+                for i, f in enumerate(factors):
+                    rows[i, : f.nnz] = f.row
+                    cols_h[i, : f.nnz] = f.col
+                    vals[i, : f.nnz] = f.data
+                rows_d = jnp.asarray(rows)
+                cols_d = jnp.asarray(cols_h)
+                vals_d = jnp.asarray(vals)
                 parts = []
-                for lo in range(0, ls.shape[0], chunk):
-                    hi = min(lo + chunk, ls.shape[0])
-                    parts.append(_neumann_dense_setup_chunk(
-                        l_dev[lo:hi], common["n0"][lo:hi],
+                for lo in range(0, b_cases, chunk):
+                    hi = min(lo + chunk, b_cases)
+                    parts.append(_neumann_coo_setup_chunk(
+                        rows_d[lo:hi], cols_d[lo:hi], vals_d[lo:hi],
+                        common["n0"][lo:hi], n_pad=n_pad,
                         sweeps=self.ic_neumann_sweeps, dtype=self.dtype,
                     ))
                 return (jnp.concatenate(parts) if len(parts) > 1
@@ -1188,12 +1344,30 @@ class BenchmarkSuite:
             groups = self._batched_fsai_inputs(power, self.model.width)
             params = self.params
 
+            if self.batched_learned_apply != "dense":
+                spread = max(
+                    band_spread(np.asarray(p.out_rows), n_pad)
+                    for _, p, _, _ in groups
+                )
+                if (self.batched_learned_apply == "banded"
+                        or spread <= self.banded_spread_cap):
+                    return self._banded_learned_setup(
+                        model, params, groups, spread, setup_reps,
+                        chunk, m_dtype,
+                    )
+
+            # bf16 internal matmuls only when M is stored bf16; the f32
+            # fallback attempt rebuilds with f32 compute (ADVICE r3 #1)
+            setup_precision = (
+                "bf16" if m_dtype == jnp.bfloat16 else None
+            )
+
             def build(jitter):
                 return self._dense_m_from_groups(
                     groups, chunk,
                     functools.partial(
                         _learned_dense_setup_chunk, model, params,
-                        dtype=self.dtype,
+                        dtype=self.dtype, precision=setup_precision,
                     ),
                     jitter=jitter,
                 )
@@ -1229,6 +1403,81 @@ class BenchmarkSuite:
                 (time.perf_counter() - start) / max(setup_reps // 2, 1)
             )
         return apply_fn, m, min(block_times)
+
+    def _banded_learned_setup(self, model, params, groups, d_max,
+                              setup_reps, chunk, m_dtype):
+        """Batched learned setup in band form (see _batched_setup).
+
+        Returns (apply_fn, m_data, setup_seconds) with
+        m_data = (bands (B, D, n_pad), q_coeffs (B, deg+1), a_data) and
+        apply_fn the banded polynomial factor apply
+        z = C q(B) q(B)^T C^T r (exact-arithmetic equal to the dense
+        path's z = M r; B = C_eff^T A_raw C_eff since the scaling fold
+        is baked into the bands).  The timed setup is the model forward
+        plus the band extraction — the n^3 polynomial materialization
+        of the dense path moves into the per-iteration apply as two
+        extra banded ops and one raw matvec per polynomial degree.
+        """
+        common = self._batched_common()
+        n_cases = len(self.data_set)
+        n_pad = common["n_pad"]
+        a_data = (common["a_tilde"], common["d_sqrt"])
+
+        def build(jitter):
+            bands = jnp.zeros((n_cases, d_max, n_pad), self.dtype)
+            qs = jnp.zeros(
+                (n_cases, model.poly_degree + 1), self.dtype
+            )
+            for idx, plans, operands, kind in groups:
+                parts = []
+                for lo in range(0, idx.shape[0], chunk):
+                    hi = min(lo + chunk, idx.shape[0])
+                    sel = idx[lo:hi]
+                    ops = (common["a_tilde"][jnp.asarray(sel)]
+                           if kind == "range" else operands[lo:hi])
+                    scales = (common["d_sqrt"][jnp.asarray(sel)] ** 2
+                              + jitter)
+                    parts.append(_learned_banded_setup_chunk(
+                        model, params,
+                        jax.tree.map(lambda x: x[lo:hi], plans),
+                        ops, scales,
+                        common["n0"][jnp.asarray(sel)],
+                        d_max=d_max, dtype=self.dtype,
+                        precision=("bf16" if m_dtype == jnp.bfloat16
+                                   else None),
+                    ))
+                b_grp = (jnp.concatenate([p[0] for p in parts])
+                         if len(parts) > 1 else parts[0][0])
+                q_grp = (jnp.concatenate([p[1] for p in parts])
+                         if len(parts) > 1 else parts[0][1])
+                bands = bands.at[jnp.asarray(idx)].set(b_grp)
+                qs = qs.at[jnp.asarray(idx)].set(q_grp)
+            if m_dtype is not None:
+                # bf16 band storage halves the apply's HBM traffic; the
+                # multiply promotes against the f32 residual, and the
+                # usual warm-up convergence check guards the cast
+                bands = bands.astype(m_dtype)
+            return bands, qs
+
+        apply_fn = make_banded_poly_apply(
+            _scaled_dense_matvec_fast, model.poly_degree
+        )
+        zero = jnp.zeros((), self.dtype)
+        out = build(zero)  # warm-up (compile)
+        jax.block_until_ready(out)
+        block_times = []
+        for _ in range(2):
+            start = time.perf_counter()
+            for _ in range(max(setup_reps // 2, 1)):
+                out = build(zero)
+                zero = (out[0].ravel()[0] * 0).astype(self.dtype)
+            jax.block_until_ready(out)
+            block_times.append(
+                (time.perf_counter() - start)
+                / max(setup_reps // 2, 1)
+            )
+        bands, qs = out
+        return apply_fn, (bands, qs, a_data), min(block_times)
 
     def run_batched(self, techniques=None, reps: int = 10,
                     setup_reps: int = 20, chunk: int = 20,

@@ -108,7 +108,9 @@ class NeuralFSAI(nn.Module):
 
         pad = plan.diag_pad
         pos1h = jax.nn.one_hot(plan.pos, w, dtype=c.dtype)
-        c_diag = jnp.take_along_axis(c, plan.pos[:, None], axis=1)
+        # masked-sum slot extraction: take_along_axis lowers to a
+        # near-serial batched gather on TPU (see range_fsai_columns)
+        c_diag = jnp.sum(c * pos1h, axis=1, keepdims=True)
         denom = jnp.maximum(jnp.abs(c_diag), 1e-20)
         feats = jnp.concatenate(
             [c / denom, a_col, pos1h, pad], axis=1

@@ -584,12 +584,13 @@ def _masked_gauss_jordan(sub: jax.Array, e: jax.Array) -> jax.Array:
     return _masked_gauss_jordan_xla(sub, e)
 
 
-# kill switch: the in-VMEM kernel is numerically identical to the XLA
-# form (tests/test_fsai.py interpret-mode check), but the current
-# platform's remote Mosaic compile-helper hangs indefinitely on the
-# w-step unrolled elimination (observed twice on a free chip, no
-# diagnostics) — default OFF until the toolchain digests it
-GJ_PALLAS_ENABLED = False
+# The r3 kernel (row-major (T, w, w) tiles, Python-unrolled steps) hung
+# the remote Mosaic compile helper; the r4 lane-major kernel below
+# compiles cleanly (the "hang" reproduced as a wedged single-client TPU
+# grant, not a compiler fault), is bit-exact vs the XLA form, and
+# measures ~2x faster (623 vs 1205 us per (4096, 24, 24) batch incl.
+# the layout transposes) — enabled by default on TPU.
+GJ_PALLAS_ENABLED = True
 
 
 def _masked_gauss_jordan_xla(sub: jax.Array, e: jax.Array) -> jax.Array:
@@ -609,47 +610,57 @@ def _masked_gauss_jordan_xla(sub: jax.Array, e: jax.Array) -> jax.Array:
     return aug[..., :, w]
 
 
-def _gj_kernel(sub_ref, e_ref, y_ref, *, w: int):
-    a = sub_ref[...]  # (T, w, w)
-    rhs = e_ref[...]  # (T, w)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+def _gj_kernel(aug_ref, y_ref, *, w: int):
+    """In-VMEM masked Gauss-Jordan on the lane-major layout (w, w+1, T).
+
+    The batch of systems rides the 128-wide LANE dimension (full VPU
+    utilization — the r3 (T, w, w) layout left 104/128 lanes idle and
+    measured 2.5x slower than XLA); the w elimination steps unroll in
+    Python with static row/column slices, masked only where the pivot
+    row must be preserved.  f32 masks: Mosaic cannot minor-dim-
+    broadcast i1.
+    """
+    aug = aug_ref[...]  # (w, w+1, T)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
     for k in range(w):
-        inv = 1.0 / a[:, k, k]  # (T,)
-        row_k = a[:, k, :] * inv[:, None]  # (T, w)
-        rhs_k = rhs[:, k] * inv  # (T,)
-        # f32 masks throughout: Mosaic cannot minor-dim-broadcast i1
-        mask = (row_iota == k).astype(a.dtype)  # (1, w)
-        col = a[:, :, k] * (1.0 - mask)  # (T, w), row k zeroed
-        m3 = mask[:, :, None]
-        a = a - col[:, :, None] * row_k[:, None, :]
-        a = a * (1.0 - m3) + m3 * row_k[:, None, :]
-        rhs = rhs - col * rhs_k[:, None]
-        rhs = rhs * (1.0 - mask) + mask * rhs_k[:, None]
-    y_ref[...] = rhs
+        pivot = aug[k, k, :]  # (T,)
+        inv = 1.0 / pivot
+        row_k = aug[k] * inv[None, :]  # (w+1, T)
+        col = aug[:, k, :]  # (w, T)
+        mask = (iota_r == k).astype(aug.dtype)  # (w, 1)
+        col = col * (1.0 - mask)
+        aug = aug - col[:, None, :] * row_k[None, :, :]
+        aug = (aug * (1.0 - mask[:, :, None])
+               + mask[:, :, None] * row_k[None, :, :])
+    y_ref[...] = aug[:, w, :]
 
 
 def _masked_gauss_jordan_pallas(
     sub: jax.Array, e: jax.Array, tile: int = 512
 ) -> jax.Array:
-    """In-VMEM batched Gauss-Jordan: grid over row tiles, one read of
-    (T, w, w) + (T, w), w unrolled elimination steps on VMEM-resident
-    values, one write of (T, w)."""
+    """In-VMEM batched Gauss-Jordan: systems on the lane axis, grid over
+    lane tiles; one read of the (w, w+1, T) augmented block, w unrolled
+    elimination steps on VMEM-resident values, one write of (w, T)."""
     from jax.experimental import pallas as pl
 
     r, w = e.shape
     if r % tile != 0:
         tile = math.gcd(r, tile)
-    grid = r // tile
-    return pl.pallas_call(
+    aug = jnp.concatenate(
+        [jnp.transpose(sub, (1, 2, 0)),
+         jnp.transpose(e)[:, None, :]],
+        axis=1,
+    )  # (w, w+1, r)
+    y = pl.pallas_call(
         functools.partial(_gj_kernel, w=w),
-        grid=grid,
+        grid=r // tile,
         in_specs=[
-            pl.BlockSpec((tile, w, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tile, w), lambda i: (i, 0)),
+            pl.BlockSpec((w, w + 1, tile), lambda i: (0, 0, i)),
         ],
-        out_specs=pl.BlockSpec((tile, w), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((r, w), sub.dtype),
-    )(sub, e)
+        out_specs=pl.BlockSpec((w, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((w, r), sub.dtype),
+    )(aug)
+    return jnp.transpose(y)
 
 
 def fsai_values_range(plan: RangeFSAIPlan, a_dense: jax.Array
@@ -676,9 +687,11 @@ def range_dense_factor(plan: RangeFSAIPlan, c_vals: jax.Array,
     jb = plan.block_cols
     b = n_pad // jb
     dtype = c_vals.dtype
-    # strips[j, h] = sum_k c[j, k] O[j, h, k]
+    # strips[j, h] = sum_k c[j, k] O[j, h, k] — one-hot operands are
+    # exact 0/1, HIGHEST keeps placement bit-exact (ADVICE r3 #2)
     strips = jnp.einsum(
-        "jk,jhk->jh", c_vals, range_one_hot(plan, dtype)
+        "jk,jhk->jh", c_vals, range_one_hot(plan, dtype),
+        precision=jax.lax.Precision.HIGHEST,
     )  # (n_pad, H)
     strips = strips.reshape(b, jb, h)
     # place strip block b at rows [lo_b, lo_b + H): P[b, n, h] =
@@ -686,7 +699,10 @@ def range_dense_factor(plan: RangeFSAIPlan, c_vals: jax.Array,
     iota_n = jnp.arange(n_pad)[None, :, None]
     iota_h = jnp.arange(h)[None, None, :]
     p = (iota_n == plan.lo[:, None, None] + iota_h).astype(dtype)
-    c_cols = jnp.einsum("bnh,bjh->bnj", p, strips)  # (B, n, JB)
+    c_cols = jnp.einsum(
+        "bnh,bjh->bnj", p, strips,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, n, JB)
     c = jnp.moveaxis(c_cols, 0, 1).reshape(n_pad, n_pad)
     if d_isqrt is not None:
         c = d_isqrt[:, None] * c
@@ -761,11 +777,13 @@ def range_fsai_columns(plan: RangeFSAIPlan, a_dense: jax.Array,
         preferred_element_type=dtype,
     )
     s5 = s_full.reshape(b, jb, w, jb, w)
-    # diagonal (w, w) blocks via an eye-contraction (one MXU-friendly
-    # dot_general) — jnp.diagonal + moveaxis lowers to strided layout
-    # ops that dominate the setup at batch sizes
-    sub = jnp.einsum(
-        "bjkql,qj->bjkl", s5, jnp.eye(jb, dtype=dtype)
+    # diagonal (w, w) blocks via JB static slices: bit-exact (no
+    # matmul at all, resolving ADVICE r3 #2's bf16 input rounding) and
+    # cheaper than both the eye dot_general (whose HIGHEST-precision
+    # exact form costs 9 bf16 passes over the 19 MB/case s5 tensor)
+    # and jnp.diagonal + moveaxis (strided layout ops)
+    sub = jnp.stack(
+        [s5[:, j, :, j, :] for j in range(jb)], axis=1
     ).reshape(n_pad, w, w)
 
     pad = plan.diag_pad
@@ -775,13 +793,18 @@ def range_fsai_columns(plan: RangeFSAIPlan, a_dense: jax.Array,
 
     e = jax.nn.one_hot(plan.pos, w, dtype=dtype)
     y = _masked_gauss_jordan(sub, e)
-    y_pos = jnp.take_along_axis(y, plan.pos[:, None], axis=1)[:, 0]
+    # masked-sum slot extraction: take_along_axis lowers to a batched
+    # per-row gather (near-serial loads on TPU — measured ~35 ms across
+    # a 100-case vmapped setup); the one-hot reduction is a fused VPU
+    # pass and e is already the diagonal-slot one-hot
+    y_pos = jnp.sum(y * e, axis=1)
     c = y / jnp.sqrt(jnp.maximum(y_pos, 1e-30))[:, None]
     c = jnp.where(plan.out_rows < n_pad, c, 0.0)  # (n_pad, w)
     if with_aux:
-        a_col = jnp.take_along_axis(
-            sub, plan.pos[:, None, None], axis=2
-        )[:, :, 0] * (1.0 - pad)
+        a_col = jnp.einsum(
+            "jkq,jq->jk", sub, e,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * (1.0 - pad)
         return c, a_col
     return c
 
@@ -799,10 +822,109 @@ def range_strips(plan: RangeFSAIPlan, c_vals: jax.Array) -> jax.Array:
         plan.local.reshape(b, 1, jb, w)
         == jnp.arange(h, dtype=plan.local.dtype)[None, :, None, None]
     ).astype(dtype)  # (B, H, JB, w) — native layout, no transposes
+    # HIGHEST: the one-hot operand is exact 0/1 — full precision keeps
+    # the strip placement bit-exact (no bf16 rounding of the column
+    # values on TPU; ADVICE r3 #2)
     strips = jnp.einsum(
-        "bjk,bhjk->bjh", c_vals.reshape(b, jb, w), oh4
+        "bjk,bhjk->bjh", c_vals.reshape(b, jb, w), oh4,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (B, JB, H)
     return strips
+
+
+def cap_pattern_spread(
+    pat_rows: np.ndarray,
+    pat_cols: np.ndarray,
+    spread_max: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop pattern entries with row - col > spread_max (host).
+
+    A pattern-policy filter: any diagonal-containing subset is a legal
+    FSAI pattern, and entries far below the diagonal of a diffusion
+    operator's power are the weakest couplings.  Used to pin the
+    range-plan slab height H to the next-lower MXU lane multiple when
+    the natural spread barely crosses it (e.g. dataset spread 129 ->
+    H = 256; capping at H - JB keeps H = 128 and halves the slab
+    math)."""
+    keep = (pat_rows - pat_cols) <= spread_max
+    return pat_rows[keep], pat_cols[keep]
+
+
+def range_strips_uniform(plan: RangeFSAIPlan, c_vals: jax.Array
+                         ) -> jax.Array:
+    """Strips re-based to the uniform window start lo_b = JB*b.
+
+    ``range_strips`` places column values at h = row - lo_b with the
+    plan's clamped lo_b = min(JB*b, n_pad - H); the strips-form factor
+    apply (``strips_upper_matvec``/``strips_lower_matvec``) wants the
+    value-independent start JB*b for every block so its window/scatter
+    reshapes are uniform.  Tail blocks (where the plan clamped) are
+    shifted left by the static clamp amount; rows satisfy
+    row >= col >= JB*b, so nothing falls off the front, and
+    row - JB*b <= spread + JB - 1 <= H keeps everything in the window.
+    Requires a static-lo plan.
+    """
+    assert plan.lo_static is not None, "strips apply needs static_lo"
+    n_pad = plan.n_pad
+    h = plan.range_h
+    jb = plan.block_cols
+    strips = range_strips(plan, c_vals)  # (B, JB, H), clamped lo
+    rows = []
+    for b, lo in enumerate(plan.lo_static):
+        shift = b * jb - lo  # 0 for non-tail blocks
+        if shift == 0:
+            rows.append(strips[b])
+        else:
+            rows.append(jnp.pad(
+                strips[b, :, shift:], ((0, 0), (0, shift))
+            ))
+    del n_pad
+    return jnp.stack(rows)  # (B, JB, H), uniform lo = JB*b
+
+
+def window_vector(v: jax.Array, jb: int, h: int) -> jax.Array:
+    """(..., n_pad) -> (..., B, H): w[..., b, h'] = v[..., jb*b + h'].
+
+    Overlapping stride-JB windows of a vector via q = H/JB interleaved
+    static reshapes (the flat buffer viewed as (B+q, JB) contains every
+    window as q contiguous row-slices) — no gather.  Used to fold
+    row-indexed quantities (Jacobi scaling, row masks) into the strips
+    domain, where row index = JB*b + h'.
+    """
+    assert h % jb == 0
+    q = h // jb
+    *lead, n_pad = v.shape
+    b = n_pad // jb
+    vp = jnp.pad(v, [(0, 0)] * len(lead) + [(0, h)])
+    v2 = vp.reshape(*lead, b + q, jb)
+    return jnp.concatenate(
+        [v2[..., k:k + b, :] for k in range(q)], axis=-1
+    )
+
+
+def strips_to_bands(strips_u: jax.Array, jb: int, d_max: int
+                    ) -> jax.Array:
+    """Uniform strips (B, JB, H) -> diagonal-major bands (d_max, n_pad).
+
+    bands[d, jb*b + jj] = C[jb*b + jj + d, jb*b + jj]
+                        = strips_u[b, jj, jj + d]
+    — JB static skew-slices, no gather and no one-hot: the cheap band
+    extraction for range plans (ops/banded_factor.extract_bands's
+    one-hot contraction costs ~19 ms over a 100-case batch; this is a
+    couple of copies of the strip array).
+    """
+    b, jb_, h = strips_u.shape[-3:]
+    assert jb_ == jb
+    sp_ = jnp.pad(
+        strips_u, [(0, 0)] * (strips_u.ndim - 1) + [(0, d_max)]
+    )
+    cols = [sp_[..., jj, jj:jj + d_max] for jj in range(jb)]
+    x = jnp.stack(cols, axis=-2)  # (..., B, JB, D)
+    lead = strips_u.shape[:-3]
+    perm = tuple(range(len(lead))) + tuple(
+        len(lead) + i for i in (2, 0, 1)
+    )
+    return jnp.transpose(x, perm).reshape(*lead, d_max, b * jb)
 
 
 def range_m_from_strips(

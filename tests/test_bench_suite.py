@@ -147,6 +147,54 @@ def test_batched_protocol_iteration_parity(tmp_path):
         assert np.abs(per_case - bat).max() <= 2, (name, per_case, bat)
 
 
+def test_batched_learned_banded_matches_dense(tmp_path):
+    """The banded factor-form batched learned apply (setup = model
+    forward + band extraction) reproduces the dense-materialized path's
+    per-case iteration counts (exact-arithmetic equal operators)."""
+    import jax
+    from deeppreconditioning_tpu.models import (
+        FSAIPlanProvider,
+        NeuralFSAI,
+    )
+    from deeppreconditioning_tpu.train.trainer import _fsai_operands
+
+    specs = precond_net_specs((1, 1, 1))
+    ds = RandomSPDDataSet(
+        "train", dof=40, batch_size=1, specs=specs, sparsity=0.85,
+        length=3, seed=4, shuffle=False,
+    )
+    width = 40
+    provider = FSAIPlanProvider(ds, power=2, width=width, kind="generic")
+    model = NeuralFSAI(width=width, hidden=8)
+    batch = ds[0]
+    plans = provider(0, batch)
+    operands = _fsai_operands(
+        plans, batch.features[:, :, 0], batch.systems.to_dense()
+    )
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jax.tree.map(lambda x: x[0], plans), operands[0],
+    )
+    results = {}
+    for mode in ("banded", "dense"):
+        suite = BenchmarkSuite(
+            ds, model, params,
+            techniques=("learned",),
+            timing_reps=1, kappa_cases=0, fsai_power=2, learned_power=2,
+            batched_learned_apply=mode,
+            results_directory=tmp_path,
+        )
+        batched = suite.run_batched(
+            techniques=("learned",), reps=1, setup_reps=1, chunk=2,
+            m_dtype=None,
+        )
+        assert batched["learned"]["success"] == 100.0, mode
+        results[mode] = np.asarray(
+            batched["learned"]["iterations_per_case"]
+        )
+    np.testing.assert_array_equal(results["banded"], results["dense"])
+
+
 def test_suite_fsai_matches_scipy_reference(tmp_path):
     """The suite's scaled-then-folded FSAI equals FSAI computed directly
     on the raw system (scaling covariance)."""

@@ -285,15 +285,20 @@ def test_masked_gauss_jordan_pallas_interpret():
     a = a @ a.transpose(0, 2, 1) + 3 * np.eye(w, dtype=np.float32)
     e = np.zeros((r, w), np.float32)
     e[np.arange(r), rng.integers(0, w, r)] = 1.0
+    # lane-major layout: systems on the last (lane) axis
+    aug = jnp.concatenate(
+        [jnp.transpose(jnp.asarray(a), (1, 2, 0)),
+         jnp.transpose(jnp.asarray(e))[:, None, :]],
+        axis=1,
+    )  # (w, w+1, r)
     out = pl.pallas_call(
         partial(_gj_kernel, w=w),
         grid=1,
-        in_specs=[pl.BlockSpec((r, w, w), lambda i: (0, 0, 0)),
-                  pl.BlockSpec((r, w), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((r, w), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((r, w), jnp.float32),
+        in_specs=[pl.BlockSpec((w, w + 1, r), lambda i: (0, 0, 0))],
+        out_specs=pl.BlockSpec((w, r), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((w, r), jnp.float32),
         interpret=True,
-    )(jnp.asarray(a), jnp.asarray(e))
+    )(aug)
     ref = _masked_gauss_jordan_xla(jnp.asarray(a), jnp.asarray(e))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+    np.testing.assert_allclose(np.asarray(out).T, np.asarray(ref),
                                rtol=1e-4, atol=1e-6)
