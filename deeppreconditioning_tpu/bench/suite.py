@@ -1480,7 +1480,7 @@ class BenchmarkSuite:
         return apply_fn, (bands, qs, a_data), min(block_times)
 
     def run_batched(self, techniques=None, reps: int = 10,
-                    setup_reps: int = 20, chunk: int = 20,
+                    setup_reps: int = 20, chunk: int = 100,
                     m_dtype=jnp.bfloat16,
                     verbose: bool = False) -> dict:
         """Run the batched protocol; fills ``self.batched`` and returns it.
@@ -1490,6 +1490,12 @@ class BenchmarkSuite:
         repetitions after a warm-up.  Records per-case iteration counts
         (masked convergence — identical semantics to the per-case
         solver) and the batch-amortized per-case total.
+
+        ``chunk`` bounds per-dispatch memory for the setups; 100 (the
+        whole split in one dispatch, ~2.5 GB peak intermediates) is
+        measured 2.4x faster than chunk=20 for the learned factor-form
+        setup — five chunked dispatches plus concatenation cost ~45 ms
+        of pure overhead on the tunneled chip.
         """
         if techniques is None:
             techniques = tuple(
