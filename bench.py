@@ -176,6 +176,28 @@ def _spmv_throughput() -> dict:
     return out
 
 
+def _scaling_section() -> dict:
+    """On-chip scaling comparison at 64^3 (structured-grid learned
+    FSAI vs jacobi/fsai — scripts/scaling_learned.py machinery,
+    in-process because a subprocess would block on the single-client
+    TPU grant).  The committed assets/results/scaling_learned.csv
+    carries the full 64^3 + 128^3 table from the same script; the
+    driver re-measures the 64^3 slice within its budget."""
+    ckpt = (REPO / "assets" / "checkpoints_structured"
+            / "best.msgpack")
+    if not ckpt.exists():
+        return {}
+    sys.path.insert(0, str(REPO / "scripts"))
+    from scaling_learned import run_scaling
+
+    _, details = run_scaling(
+        [64], ckpt, sigma=1.0, reps=3,
+        out=REPO / "assets" / "results" / "driver"
+        / "scaling_learned_64.csv",
+    )
+    return {"scaling": details}
+
+
 def main() -> None:
     from deeppreconditioning_tpu.bench.suite import BenchmarkSuite
     from deeppreconditioning_tpu.config import params_show
@@ -295,6 +317,7 @@ def main() -> None:
         root,
     ))
     details.update(_spmv_throughput())
+    details.update(_scaling_section())
 
     if "learned" in summary:
         speedup = (

@@ -635,32 +635,40 @@ def _gj_kernel(aug_ref, y_ref, *, w: int):
     y_ref[...] = aug[:, w, :]
 
 
-def _masked_gauss_jordan_pallas(
-    sub: jax.Array, e: jax.Array, tile: int = 512
-) -> jax.Array:
-    """In-VMEM batched Gauss-Jordan: systems on the lane axis, grid over
-    lane tiles; one read of the (w, w+1, T) augmented block, w unrolled
-    elimination steps on VMEM-resident values, one write of (w, T)."""
+def gauss_jordan_lanes(aug: jax.Array, tile: int = 512) -> jax.Array:
+    """In-VMEM batched Gauss-Jordan on the native lane-major layout:
+    aug (w, w+1, N) — the N systems ride the lane axis — returns the
+    solution rows (w, N).  Grid over lane tiles; one read of the
+    augmented block, w unrolled elimination steps on VMEM-resident
+    values, one write.  Callers that already hold (w, ..., N) data
+    (ops/structured_fsai.py) pay zero layout transposes."""
     from jax.experimental import pallas as pl
 
-    r, w = e.shape
+    w, w1, r = aug.shape
+    assert w1 == w + 1
     if r % tile != 0:
         tile = math.gcd(r, tile)
-    aug = jnp.concatenate(
-        [jnp.transpose(sub, (1, 2, 0)),
-         jnp.transpose(e)[:, None, :]],
-        axis=1,
-    )  # (w, w+1, r)
-    y = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_gj_kernel, w=w),
         grid=r // tile,
         in_specs=[
             pl.BlockSpec((w, w + 1, tile), lambda i: (0, 0, i)),
         ],
         out_specs=pl.BlockSpec((w, tile), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((w, r), sub.dtype),
+        out_shape=jax.ShapeDtypeStruct((w, r), aug.dtype),
     )(aug)
-    return jnp.transpose(y)
+
+
+def _masked_gauss_jordan_pallas(
+    sub: jax.Array, e: jax.Array, tile: int = 512
+) -> jax.Array:
+    """(T, w, w) front-end for gauss_jordan_lanes (transposes in/out)."""
+    aug = jnp.concatenate(
+        [jnp.transpose(sub, (1, 2, 0)),
+         jnp.transpose(e)[:, None, :]],
+        axis=1,
+    )  # (w, w+1, r)
+    return jnp.transpose(gauss_jordan_lanes(aug, tile))
 
 
 def fsai_values_range(plan: RangeFSAIPlan, a_dense: jax.Array

@@ -257,6 +257,60 @@ def batched_pcg_fixed_trips(
     return CGResult(x=x, iterations=k, residual=dots(r, r) / bb)
 
 
+@partial(jax.jit,
+         static_argnames=("matvec", "apply_m", "max_iter", "trips"))
+def pcg_fixed_trips(
+    matvec: Callable[[Any, jax.Array], jax.Array],
+    a_data: Any,
+    b: jax.Array,
+    apply_m: Callable[[Any, jax.Array], jax.Array] = identity_apply,
+    m_data: Any = None,
+    rtol: float = 1e-8,
+    max_iter: int = 1024,
+    trips: int = 8,
+) -> CGResult:
+    """Single-system fixed-trip PCG — flat (n,) twin of
+    ``batched_pcg_fixed_trips``.
+
+    Exists because wrapping a single large system as a B=1 batch is
+    NOT free: the (1, n) leading dim degrades the shifted-slice factor
+    applies' fusion (measured 5x on a 128^3 structured-FSAI solve,
+    61 vs 12 ms for 16 trips).  Same masked-freeze semantics, so
+    iteration counts and convergence flags match the while-loop solver
+    when ``trips`` covers the solve.
+    """
+    x = jnp.zeros_like(b)
+    r = b - matvec(a_data, x)
+    z = apply_m(m_data, r)
+    p = z
+    bb = jnp.dot(b, b)
+    bb = jnp.where(bb == 0, 1.0, bb)
+
+    def masked_iter(_, state):
+        x, r, z, p, k, done = state
+        frozen = jnp.logical_or(done, k >= max_iter)
+        ap = matvec(a_data, p)
+        rz = jnp.dot(r, z)
+        denom = jnp.dot(ap, p)
+        alpha = jnp.where(frozen, 0.0, rz / denom)
+        x = x + alpha * p
+        r_new = jnp.where(frozen, r, r - alpha * ap)
+        z_new = jnp.where(frozen, z, apply_m(m_data, r_new))
+        beta = jnp.where(frozen, 0.0,
+                         jnp.dot(r_new, z_new) / rz)
+        p = jnp.where(frozen, p, z_new + beta * p)
+        k = jnp.where(frozen, k, k + 1)
+        done = jnp.logical_or(done, jnp.dot(r_new, r_new) / bb < rtol)
+        return (x, r_new, z_new, p, k, done)
+
+    init_done = jnp.dot(r, r) / bb < rtol
+    state = (x, r, z, p, jnp.int32(0), init_done)
+    x, r, z, p, k, done = jax.lax.fori_loop(
+        0, trips, masked_iter, state
+    )
+    return CGResult(x=x, iterations=k, residual=jnp.dot(r, r) / bb)
+
+
 def conjugate_gradient(
     matvec: Callable[[Any, jax.Array], jax.Array],
     a_data: Any,

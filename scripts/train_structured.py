@@ -40,7 +40,10 @@ def main() -> None:
     parser.add_argument("--degree", type=int, default=1)
     parser.add_argument("--hidden", type=int, default=64)
     parser.add_argument("--pcg-steps", type=int, default=12)
-    parser.add_argument("--sigma", type=float, default=1.0)
+    parser.add_argument("--sigma", default="1.0",
+                        help="coefficient contrast: a float, or "
+                        "'LO:HI' for per-sample uniform draws (trains "
+                        "a contrast-robust head)")
     parser.add_argument("--seed", type=int, default=69)
     parser.add_argument("--platform", default=None,
                         choices=["cpu", "tpu"])
@@ -76,11 +79,17 @@ def main() -> None:
     print(f"shape={shape} pattern width={w} offsets={plan.offsets}",
           flush=True)
 
+    if ":" in str(args.sigma):
+        lo, hi = (float(s) for s in str(args.sigma).split(":"))
+    else:
+        lo = hi = float(args.sigma)
+
     rng = np.random.default_rng(args.seed)
     mats, rhss = [], []
     for _ in range(args.samples):
         a = dia_sorted_by_offset(poisson_coeff_dia(
-            shape, rng=rng, sigma=args.sigma, dtype=jnp.float32
+            shape, rng=rng, sigma=float(rng.uniform(lo, hi)),
+            dtype=jnp.float32,
         ))
         x_star = np.zeros(a.n_pad, np.float32)
         x_star[:a.n] = rng.standard_normal(a.n)
@@ -156,10 +165,13 @@ def main() -> None:
     best = (np.inf, params)
     t0 = time.time()
     for it in range(args.steps):
+        prev = params  # loss is evaluated at PRE-update params — pair
+        # them (the post-update params can be the exploding step that
+        # produced a NaN on the NEXT loss)
         params, opt_state, loss = step(params, opt_state, a_vals, b_all)
         loss = float(loss)
         if loss < best[0]:
-            best = (loss, jax.tree.map(lambda x: x, params))
+            best = (loss, prev)
         if it % 25 == 0 or it == args.steps - 1:
             print(f"step {it:4d} loss {loss:+.4f} "
                   f"(best {best[0]:+.4f}, {time.time()-t0:.0f}s)",
@@ -175,7 +187,7 @@ def main() -> None:
         "power": args.power,
         "family": "structured_poisson",
         "train_shape": list(shape),
-        "sigma": args.sigma,
+        "sigma": [lo, hi],
         "final_loss": best[0],
     }
     out.write_bytes(serialization.to_bytes(payload))
