@@ -136,6 +136,11 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--force", action="store_true",
                         help="re-run stages even if the lock matches")
+    parser.add_argument("--adopt", action="store_true",
+                        help="record the CURRENT params/deps/outputs "
+                        "as the lock state without running anything "
+                        "(the `dvc commit` analog — use to bless "
+                        "pre-existing artifacts)")
     parser.add_argument("--stages", default="generate,train,test")
     args = parser.parse_args()
     wanted = args.stages.split(",")
@@ -152,6 +157,14 @@ def main() -> None:
 
     for stage in build_stages(params):
         if stage.name not in wanted:
+            continue
+        if args.adopt:
+            if all(p.exists() for p in stage.outs):
+                lock[stage.name] = stage.record(params_dict)
+                save_lock(lock)
+                print(f"{stage.name}: adopted current state")
+            else:
+                print(f"{stage.name}: outputs missing, not adopted")
             continue
         if not args.force and should_skip(stage, params_dict, lock):
             print(f"{stage.name}: lock matches, skipping")
