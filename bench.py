@@ -365,13 +365,26 @@ def main() -> None:
     }
     if "scaling" in details:
         compact["scaling"] = details["scaling"]
-    line = json.dumps({
-        "metric": metric,
-        "value": round(float(speedup), 4),
-        "unit": "x",
-        "vs_baseline": round(float(speedup), 4),
-        "details": compact,
-    })
+
+    def _line():
+        return json.dumps({
+            "metric": metric,
+            "value": round(float(speedup), 4),
+            "unit": "x",
+            "vs_baseline": round(float(speedup), 4),
+            "details": compact,
+        })
+
+    # the driver's tail buffer is finite (~1.8 KB; the r3 record came
+    # back "parsed": null when the line outgrew it) — on overflow drop
+    # optional sections least-important-first instead of crashing after
+    # the full chip-holding benchmark run (ADVICE r4 #1)
+    line = _line()
+    for optional in ("irregular", "spmv_gnnz", "scaling", "percase"):
+        if len(line) < 1500:
+            break
+        compact.pop(optional, None)
+        line = _line()
     assert len(line) < 1500, f"driver line too long: {len(line)}"
     print(line)
 

@@ -78,10 +78,13 @@ def poisson_coeff_dia(
         neg = offsets.index(-strides[ax])
         facef = np.zeros(shape, np.float64)
         facef[tuple(lo_all)] = face  # face between i and i+stride
-        vals[pos, :n] = -facef.reshape(-1)
+        vals[pos, :n] += -facef.reshape(-1)
         faceb = np.zeros(shape, np.float64)
         faceb[tuple(hi_all)] = face
-        vals[neg, :n] = -faceb.reshape(-1)
+        # += (not =): axes with colliding linear strides (any size-1
+        # grid dim, e.g. (n, 1)) share a DIA band — assignment would
+        # silently zero the earlier axis' couplings (ADVICE r4 #3)
+        vals[neg, :n] += -faceb.reshape(-1)
 
     vals[offsets.index(0), :n] = diag.reshape(-1)
     return DIAMatrix(
