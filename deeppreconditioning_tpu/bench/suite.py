@@ -468,24 +468,38 @@ class BenchmarkSuite:
                 store[name] = []
 
     # -- system reconstruction (test.py:61-68) ---------------------------
-    def _reconstruct(self, batch):
+    def _reconstruct(self, index):
         """Rebuild the RAW system A = D^1/2 A~ D^1/2, b = D^1/2 b~.
 
         All techniques compete on the unscaled system; the dataset's
         symmetric Jacobi normalization is a *component of the learned
         technique* (folded into its apply in _setup_learned), not a
         freebie for the classical baselines.
+
+        Built from the dataset's HOST samples: reading the scaled tril
+        back off a tunneled device cost ~0.3 s per case in round 4
+        (VERDICT r4 next #6).
         """
-        n0 = batch.original_sizes[0]
-        tril = np.asarray(batch.systems.to_dense(), np.float64)[0]
-        d_sqrt = np.sqrt(np.asarray(batch.scales[0], np.float64))
-        a_full = tril + np.tril(tril, -1).T
-        a_full = a_full * np.outer(d_sqrt, d_sqrt)
-        a_sp = sp.csr_matrix(a_full[:n0, :n0])
-        rhs = (
-            np.asarray(batch.right_hand_sides[0], np.float64) * d_sqrt
-        )[:n0]
-        return a_sp, a_full, rhs, n0
+        h = self.data_set.host_sample(index)
+        n0 = h.original_size
+        # round through f32 first: the device batch stored f32 values,
+        # and the protocol's systems must stay bit-identical to it
+        # (unrounded f64 shifts near-tolerance f32 CG counts on
+        # ill-conditioned families)
+        vals = h.vals.astype(np.float32).astype(np.float64)
+        d_sqrt = np.sqrt(h.scale.astype(np.float32).astype(np.float64))
+        keep = (h.rows < n0) & (h.cols < n0)
+        r, c, v = h.rows[keep], h.cols[keep], vals[keep]
+        v = v * d_sqrt[r] * d_sqrt[c]
+        off = r != c
+        a_sp = sp.csr_matrix(
+            (np.concatenate([v, v[off]]),
+             (np.concatenate([r, c[off]]),
+              np.concatenate([c, r[off]]))),
+            shape=(n0, n0),
+        )
+        rhs = (h.rhs.astype(np.float32).astype(np.float64) * d_sqrt)[:n0]
+        return a_sp, rhs, n0
 
     # -- preconditioner constructors -------------------------------------
     def _setup_vanilla(self, a_sp, batch, ell, need_dense,
@@ -661,8 +675,7 @@ class BenchmarkSuite:
             # generic element-gather plan individually
             spread_cap = max(n_pad // 4, 128)
             for index in range(len(self.data_set)):
-                b = self.data_set[index]
-                r0, c0, nnz0 = self._l0_sites(b)
+                r0, c0, nnz0 = self._l0_sites(index)
                 pr, pc = tril_power_pattern(
                     r0, c0, n_pad, power=power
                 )
@@ -677,7 +690,7 @@ class BenchmarkSuite:
                     )
                 if case_spread <= spread_cap:
                     spread = max(spread, case_spread)
-                pats.append((id(b.features), r0, c0, pr, pc, nnz0))
+                pats.append((index, r0, c0, pr, pc, nnz0))
             range_h = int(np.ceil(spread / 128) * 128)
             caps = getattr(self, "_fsai_spread_caps", None)
             if caps is None:
@@ -725,7 +738,7 @@ class BenchmarkSuite:
             prep = self.prep_seconds = {}
         prep[stage] = prep.get(stage, 0.0) + seconds
 
-    def _fsai_plan(self, batch, ell, width=None, power=None):
+    def _fsai_plan(self, index, batch, ell, width=None, power=None):
         """Per-case FSAI plan + untimed input artifacts.
 
         Pattern plans and the dense scaled-matrix form are dataset-level
@@ -737,7 +750,7 @@ class BenchmarkSuite:
         the pattern power (a trained NeuralFSAI bakes both into its
         parameters)."""
         power = self.fsai_power if power is None else power
-        key = (id(batch.features), width, power)
+        key = (index, width, power)
         cache = getattr(self, "_fsai_cache", None)
         if cache is None:
             # bounded LRU: a RangeFSAIPlan one-hot is O(n_pad*H*w) —
@@ -758,7 +771,7 @@ class BenchmarkSuite:
             ds_width, range_h, pats = self._fsai_meta(ell.n_pad, power)
             eff_width = ds_width if width is None else width
             self._fsai_range_h = range_h
-            r0, c0, pr, pc, nnz0 = pats[id(batch.features)]
+            r0, c0, pr, pc, nnz0 = pats[index]
             scales0 = batch.scales[0]
             if eff_width < pattern_col_width(pr, pc):
                 # learned width is baked into the checkpoint; cap the
@@ -769,9 +782,8 @@ class BenchmarkSuite:
                     tril_power_pattern_capped,
                 )
 
-                nnz = r0.shape[0]
-                mags = np.asarray(
-                    batch.features[0, :nnz, 0], np.float64
+                mags = self.data_set.host_sample(index).vals.astype(
+                    np.float64
                 )
                 pr, pc = tril_power_pattern_capped(
                     r0, c0, mags, ell.n_pad,
@@ -787,9 +799,9 @@ class BenchmarkSuite:
                     range_h=min(self._fsai_range_h, ell.n_pad),
                 )
                 # dense scaled A~ from host values (untimed input prep)
-                nnz = r0.shape[0]
-                vals = np.asarray(batch.features[0, :nnz, 0],
-                                  np.float64)
+                vals = self.data_set.host_sample(index).vals.astype(
+                    np.float64
+                )
                 a_d = np.zeros((ell.n_pad, ell.n_pad))
                 a_d[r0, c0] = vals
                 a_d = a_d + np.tril(a_d, -1).T
@@ -816,25 +828,28 @@ class BenchmarkSuite:
             )
         return cache[key]
 
-    @staticmethod
-    def _l0_sites(batch):
-        """Valid level-0 tril sites of a batch (host numpy), in the
-        feature-vector order, plus the feature bucket size."""
-        p0 = batch.plans[0]
-        rows = np.asarray(p0.rows[0])
-        cols = np.asarray(p0.cols[0])
-        valid = np.asarray(p0.valid[0])
-        nnz = int(valid.sum())
-        return (rows[:nnz].astype(np.int32),
-                cols[:nnz].astype(np.int32),
-                batch.features.shape[1])
+    def _l0_sites(self, index):
+        """Valid level-0 tril sites of a case (host numpy), in the
+        feature-vector order, plus the feature bucket size.
+
+        Reads the dataset's host sample — its (rows, cols) ARE the
+        level-0 site list in feature order (datasets._prepare_sample
+        sorts by (row, col) and the level-0 plan preserves it); the
+        former per-case device-plan readback cost ~0.66 s through the
+        tunnel (VERDICT r4 next #6)."""
+        h = self.data_set.host_sample(index)
+        return (h.rows.astype(np.int32),
+                h.cols.astype(np.int32),
+                self.data_set.nnz0_pad)
 
     def _setup_fsai(self, a_sp, batch, ell, need_dense, timing=False):
         n0 = a_sp.shape[0]
         if getattr(self, "_n0_cache", None) != n0:
             self._n0_dev = jnp.int32(n0)
             self._n0_cache = n0
-        kind, plan, operand, scales0 = self._fsai_plan(batch, ell)
+        kind, plan, operand, scales0 = self._fsai_plan(
+            self._case_index, batch, ell
+        )
         jit0 = getattr(self, "_timing_jitter", None)
         if jit0 is not None:
             scales0 = scales0 + jit0  # see run(): chained timing reps
@@ -875,7 +890,7 @@ class BenchmarkSuite:
             self._n0_dev = jnp.int32(n0)
             self._n0_cache = n0
         kind, plan, operand, scales0 = self._fsai_plan(
-            batch, ell, width=self.model.width,
+            self._case_index, batch, ell, width=self.model.width,
             power=self.learned_power or None,
         )
         jit0 = getattr(self, "_timing_jitter", None)
@@ -978,7 +993,8 @@ class BenchmarkSuite:
         # steady-state (XLA compiles once; static shapes keep it cached)
         if len(self.data_set):
             batch0 = self.data_set[0]
-            a0, _, rhs0, n00 = self._reconstruct(batch0)
+            self._case_index = 0
+            a0, rhs0, n00 = self._reconstruct(0)
             ell0 = ELLMatrix.from_scipy(
                 a0, n_pad=batch0.solutions.shape[1], dtype=self.dtype
             )
@@ -992,7 +1008,8 @@ class BenchmarkSuite:
                             m_data)
         for index in range(len(self.data_set)):
             batch = self.data_set[index]
-            a_sp, a_full, rhs, n0 = self._reconstruct(batch)
+            self._case_index = index
+            a_sp, rhs, n0 = self._reconstruct(index)
 
             # dataset-global padded size -> one compiled solver for all
             # cases regardless of per-case dof
@@ -1118,26 +1135,31 @@ class BenchmarkSuite:
         vectors, rhs, n0, raw CSR (for host factorizations)."""
         if getattr(self, "_bat_cache", None) is not None:
             return self._bat_cache
-        a_tildes, d_sqrts, bs, n0s, a_sps = [], [], [], [], []
-        n_pad = None
-        for index in range(len(self.data_set)):
-            batch = self.data_set[index]
-            a_sp, _, rhs, n0 = self._reconstruct(batch)
-            n_pad = batch.solutions.shape[1]
-            tril = np.asarray(batch.systems.to_dense(), np.float32)[0]
-            a_tildes.append(tril + np.tril(tril, -1).T)
-            d_sqrts.append(np.sqrt(np.asarray(batch.scales[0],
-                                              np.float32)))
-            b = np.zeros(n_pad, np.float32)
-            b[:n0] = rhs
-            bs.append(b)
-            n0s.append(n0)
+        n_cases = len(self.data_set)
+        n_pad = self.data_set.host_sample(0).solution.shape[0]
+        # preallocate the case stacks (np.stack of 100 dense (n, n)
+        # blocks copied ~1.3 GB and took ~4.4 s of the round-4 prep)
+        a_tildes = np.zeros((n_cases, n_pad, n_pad), np.float32)
+        d_sqrts = np.zeros((n_cases, n_pad), np.float32)
+        bs = np.zeros((n_cases, n_pad), np.float32)
+        n0s = np.zeros(n_cases, np.int32)
+        a_sps = []
+        for index in range(n_cases):
+            h = self.data_set.host_sample(index)
+            a_sp, rhs, n0 = self._reconstruct(index)
+            tril = a_tildes[index]
+            tril[h.rows, h.cols] = h.vals
+            low = np.tril(tril, -1)
+            a_tildes[index] += low.T
+            d_sqrts[index] = np.sqrt(h.scale.astype(np.float32))
+            bs[index, :n0] = rhs
+            n0s[index] = n0
             a_sps.append(a_sp)
         self._bat_cache = {
-            "a_tilde": jnp.asarray(np.stack(a_tildes), self.dtype),
-            "d_sqrt": jnp.asarray(np.stack(d_sqrts), self.dtype),
-            "b": jnp.asarray(np.stack(bs), self.dtype),
-            "n0": jnp.asarray(np.array(n0s, np.int32)),
+            "a_tilde": jnp.asarray(a_tildes, self.dtype),
+            "d_sqrt": jnp.asarray(d_sqrts, self.dtype),
+            "b": jnp.asarray(bs, self.dtype),
+            "n0": jnp.asarray(n0s),
             "n_pad": n_pad,
             "a_sps": a_sps,
         }
@@ -1166,15 +1188,14 @@ class BenchmarkSuite:
         _, range_h, pats = self._fsai_meta(n_pad, power)
         by_kind = {"range": [], "generic": []}
         for index in range(len(self.data_set)):
-            batch = self.data_set[index]
-            r0, c0, pr, pc, nnz0 = pats[id(batch.features)]
+            h = self.data_set.host_sample(index)
+            r0, c0, pr, pc, nnz0 = pats[index]
             if width < pattern_col_width(pr, pc):
                 from deeppreconditioning_tpu.ops.fsai import (
                     tril_power_pattern_capped,
                 )
 
-                nnz = r0.shape[0]
-                mags = np.asarray(batch.features[0, :nnz, 0], np.float64)
+                mags = h.vals.astype(np.float64)
                 pr, pc = tril_power_pattern_capped(
                     r0, c0, mags, n_pad, power=power, width=width
                 )
@@ -1193,9 +1214,9 @@ class BenchmarkSuite:
                 plan = build_fsai_plan(
                     r0, c0, pr, pc, n_pad, width=width, sentinel=nnz0
                 )
-                by_kind["generic"].append(
-                    (index, plan, np.asarray(batch.features[0, :, 0]))
-                )
+                l0 = np.zeros(nnz0, np.float32)
+                l0[: h.vals.shape[0]] = h.vals
+                by_kind["generic"].append((index, plan, l0))
         groups = []
         for kind, items in by_kind.items():
             if not items:
@@ -1240,7 +1261,11 @@ class BenchmarkSuite:
                        if kind == "range" else operands[lo:hi])
                 scales = common["d_sqrt"][jnp.asarray(sel)] ** 2
                 if jitter is not None:
-                    scales = scales + jitter
+                    # multiplicative 1-ulp-scale jitter: an ADDITIVE
+                    # 1e-12 vanishes against O(1) f32 values (the
+                    # dispatch stays bitwise-identical and the runtime
+                    # can value-cache it fake-fast)
+                    scales = scales * (1.0 + jitter)
                 parts.append(setup_fn(
                     jax.tree.map(lambda x: x[lo:hi], plans),
                     ops,
@@ -1275,7 +1300,7 @@ class BenchmarkSuite:
         if name == "jacobi":
             def build(jitter):
                 return _jacobi_setup_batched(
-                    common["d_sqrt"] + jitter, common["n0"]
+                    common["d_sqrt"] * (1.0 + jitter), common["n0"]
                 )
             apply_fn = _diag_apply
 
@@ -1389,17 +1414,19 @@ class BenchmarkSuite:
             def build(jitter):
                 return inner_build(jitter).astype(m_dtype)
 
-        m = build(jnp.zeros((), self.dtype))  # warm-up (compile)
-        jax.block_until_ready(m)
-        # bitwise-DISTINCT per-rep inputs (pre-staged, ~1e-12 jitter —
-        # numerically inert): the tunneled runtime can serve a repeat
-        # dispatch of an identical (executable, input values) pair from
-        # cache, and the former output-dependent chaining both fails to
-        # defeat that (the dependency is value-identical) and can add
-        # hundreds of ms of dependent-dispatch latency per rep — see
-        # MEASUREMENT.md
+        m0 = build(jnp.zeros((), self.dtype))  # warm-up (compile)
+        jax.block_until_ready(m0)
+        # bitwise-DISTINCT per-rep inputs (pre-staged, 1-ulp-scale
+        # RELATIVE jitter — numerically inert): the tunneled runtime can
+        # serve a repeat dispatch of an identical (executable, input
+        # values) pair from cache, and the former output-dependent
+        # chaining both fails to defeat that (the dependency is
+        # value-identical) and can add hundreds of ms of dependent-
+        # dispatch latency per rep — see MEASUREMENT.md.  The jitter is
+        # multiplicative because an additive 1e-12 disappears into O(1)
+        # f32 inputs (bitwise-identical dispatch again).
         n_rep = max(setup_reps // 2, 1)
-        jitters = [jnp.float32((i + 1) * 1e-12) for i in range(n_rep)]
+        jitters = [jnp.float32((i + 1) * 1.2e-7) for i in range(n_rep)]
         jax.block_until_ready(jitters)
         block_times = []
         for _ in range(2):  # best-of-two (see run_batched solve note)
@@ -1410,7 +1437,10 @@ class BenchmarkSuite:
             block_times.append(
                 (time.perf_counter() - start) / n_rep
             )
-        return apply_fn, m, min(block_times)
+        del m
+        # the technique solves with the CLEAN warm-up build, not the
+        # last jittered rep
+        return apply_fn, m0, min(block_times)
 
     def _banded_learned_setup(self, model, params, groups, d_max,
                               setup_reps, chunk, m_dtype):
@@ -1444,7 +1474,7 @@ class BenchmarkSuite:
                     ops = (common["a_tilde"][jnp.asarray(sel)]
                            if kind == "range" else operands[lo:hi])
                     scales = (common["d_sqrt"][jnp.asarray(sel)] ** 2
-                              + jitter)
+                              * (1.0 + jitter))
                     parts.append(_learned_banded_setup_chunk(
                         model, params,
                         jax.tree.map(lambda x: x[lo:hi], plans),
@@ -1476,11 +1506,11 @@ class BenchmarkSuite:
         apply_fn = make_banded_poly_apply(
             inner_matvec, model.poly_degree
         )
-        out = build(jnp.zeros((), self.dtype))  # warm-up (compile)
-        jax.block_until_ready(out)
-        # distinct per-rep jitters — see _batched_setup's timing note
+        out0 = build(jnp.zeros((), self.dtype))  # warm-up (compile)
+        jax.block_until_ready(out0)
+        # distinct per-rep MULTIPLICATIVE jitters — see _batched_setup
         n_rep = max(setup_reps // 2, 1)
-        jitters = [jnp.float32((i + 1) * 1e-12) for i in range(n_rep)]
+        jitters = [jnp.float32((i + 1) * 1.2e-7) for i in range(n_rep)]
         jax.block_until_ready(jitters)
         block_times = []
         for _ in range(2):
@@ -1491,7 +1521,8 @@ class BenchmarkSuite:
             block_times.append(
                 (time.perf_counter() - start) / n_rep
             )
-        bands, qs = out
+        del out
+        bands, qs = out0  # solve with the clean warm-up build
         return apply_fn, (bands, qs, a_data), min(block_times)
 
     def run_batched(self, techniques=None, reps: int = 10,

@@ -186,6 +186,17 @@ class PlannedDataSet:
     def __len__(self) -> int:
         return len(self._host) // self.batch_size
 
+    def host_sample(self, index: int) -> _HostSample:
+        """Host-numpy view of batch ``index``'s first member (the
+        benchmark suite runs batch_size=1).
+
+        The suite's input-prep paths (pattern powers, plan builds,
+        system reconstruction) are pure host work; reading the same
+        data back off the device cost ~0.3 s *per array* through the
+        tunneled chip — 97 of the 128 s round-4 prep was exactly such
+        ``np.asarray(device_array)`` calls (VERDICT r4 next #6)."""
+        return self._host[index * self.batch_size]
+
     def __getitem__(self, index: int) -> DeviceBatch:
         if index < 0 or index >= len(self):
             raise IndexError(index)

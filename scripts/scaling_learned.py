@@ -91,12 +91,16 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
         )
 
         def time_setup(fn, reps):
-            out = fn(jnp.zeros((), jnp.float32))
-            jax.block_until_ready(out)
+            out0 = fn(jnp.zeros((), jnp.float32))
+            jax.block_until_ready(out0)
             # bitwise-distinct per-rep inputs (no chaining): the
             # tunneled runtime value-caches identical dispatches and
-            # adds latency to dependent ones — MEASUREMENT.md
-            jitters = [jnp.float32((i + 1) * 1e-12)
+            # adds latency to dependent ones — MEASUREMENT.md.  The
+            # jitter is applied MULTIPLICATIVELY by every fn below
+            # (x * (1 + jit)): one-ulp relative, so the dispatch is
+            # bitwise distinct for any input magnitude (an additive
+            # 1e-12 vanishes against O(1) f32 values)
+            jitters = [jnp.float32((i + 1) * 1.2e-7)
                        for i in range(reps)]
             jax.block_until_ready(jitters)
             best = np.inf
@@ -107,14 +111,15 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
                 jax.block_until_ready(out)
                 best = min(best,
                            (time.perf_counter() - t0) / reps)
-            return out, best
+            del out
+            return out0, best
 
         techniques = {}
         techniques["vanilla"] = (None, None, 0.0)
 
         @jax.jit
         def jacobi_build(jit):
-            return inv_diag + jit
+            return inv_diag * (1.0 + jit)
 
         md, setup_s = time_setup(jacobi_build, reps)
 
@@ -126,7 +131,8 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
         setup_jit = jax.jit(
             lambda jit, params=None: structured_setup(
                 jax.tree.map(
-                    lambda x: x + jit if x.dtype == jnp.float32 else x,
+                    lambda x: (x * (1.0 + jit)
+                               if x.dtype == jnp.float32 else x),
                     a,
                 ),
                 plan, params,
@@ -143,7 +149,8 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
         setup_learned = jax.jit(
             lambda jit: structured_setup(
                 jax.tree.map(
-                    lambda x: x + jit if x.dtype == jnp.float32 else x,
+                    lambda x: (x * (1.0 + jit)
+                               if x.dtype == jnp.float32 else x),
                     a,
                 ),
                 plan, params,

@@ -219,13 +219,13 @@ def test_suite_fsai_matches_scipy_reference(tmp_path):
         results_directory=tmp_path,
     )
     batch = ds[0]
-    a_sp, _, _, n0 = suite._reconstruct(batch)
+    a_sp, _, n0 = suite._reconstruct(0)
     from deeppreconditioning_tpu.sparse import ELLMatrix
     ell = ELLMatrix.from_scipy(a_sp, n_pad=ds.dof_pad)
     from deeppreconditioning_tpu.bench.suite import (
         _fsai_range_setup_device,
     )
-    kind, plan, operand, scales0 = suite._fsai_plan(batch, ell)
+    kind, plan, operand, scales0 = suite._fsai_plan(0, batch, ell)
     setup_fn = (_fsai_range_setup_device if kind == "range"
                 else _fsai_setup_device)
     m = np.asarray(setup_fn(
@@ -233,7 +233,7 @@ def test_suite_fsai_matches_scipy_reference(tmp_path):
         scales0, jnp.int32(n0), dtype=jnp.float64,
     ))[:n0, :n0]
 
-    r0, c0, _ = suite._l0_sites(batch)
+    r0, c0, _ = suite._l0_sites(0)
     keep = (r0 < n0) & (c0 < n0)
     pr, pc = tril_power_pattern(
         r0[keep], c0[keep], n0, power=suite.fsai_power
