@@ -434,6 +434,62 @@ def make_structured_poly_apply(offsets: Tuple[int, ...], degree: int):
     return apply_fn
 
 
+def poly_safeguard(
+    bands: jax.Array,  # (w, n_pad) refined scaled-space factor C~
+    q_coeffs: jax.Array,  # (d+1,)
+    a_scaled: DIAMatrix,
+    offsets: Tuple[int, ...],
+    iters: int = 16,
+    margin: float = 1.1,
+    grid: int = 65,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Clamp an unsafe polynomial wrap back to q = I at setup time.
+
+    The trained q is spectrum-specific: deployed on a system whose
+    B = C~^T A~ C~ spectrum extends past the training family's
+    (coefficient contrast sigma above the trained range), q can change
+    sign inside [0, lambda_max(B)] — M = C q(B) q(B)^T C^T stays SPD
+    but is near-singular at interior eigenvalues and PCG breaks down
+    (the round-4 README's known limitation; VERDICT r4 next #2).  The
+    reference contract is an SPD M ~= A^-1
+    (uibk/deep_preconditioning/cg.py:81).
+
+    A few power iterations estimate lambda_max(B) (B_raw == B_scaled
+    exactly: the Jacobi scaling fold cancels inside B), then q is
+    evaluated on a dense grid of [0, margin * lambda_max]; any
+    nonpositive value triggers the fallback to q = I — classical
+    structured FSAI, which is unconditionally safe.  Cost: ``iters``
+    B-applies, microseconds next to the setup's local solves.
+
+    Returns (q_safe, safe_flag (bool scalar), lambda_max estimate).
+    """
+    n_pad = bands.shape[1]
+    dtype = bands.dtype
+
+    def b_(t):
+        u = offset_lower_matvec(bands, t, offsets)
+        return offset_upper_matvec(bands, a_scaled.matvec(u), offsets)
+
+    # deterministic, sign-rich start vector (no data dependence)
+    v = jnp.sin(jnp.arange(n_pad, dtype=dtype) * 0.7) + 0.5
+
+    def body(_, v):
+        w = b_(v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    w = b_(v)
+    lam_max = jnp.vdot(v, w) / jnp.maximum(jnp.vdot(v, v), 1e-30)
+    ts = jnp.linspace(0.0, margin, grid).astype(dtype) * lam_max
+    deg = q_coeffs.shape[0] - 1
+    qv = jnp.full_like(ts, q_coeffs[deg])
+    for i in range(deg - 1, -1, -1):  # Horner
+        qv = qv * ts + q_coeffs[i]
+    safe = jnp.min(qv) > 0.0
+    ident = jnp.zeros_like(q_coeffs).at[0].set(1.0)
+    return jnp.where(safe, q_coeffs, ident), safe, lam_max
+
+
 def jacobi_scale_dia(a: DIAMatrix) -> Tuple[DIAMatrix, jax.Array]:
     """(A~, d_sqrt): symmetric Jacobi scaling in DIA form —
     A~[i, i+off] = A[i, i+off] / (d_sqrt[i] d_sqrt[i+off])."""
@@ -462,11 +518,16 @@ def structured_setup(
     plan: StructuredFSAIPlan,
     params=None,
     chunk: int = 1 << 18,
+    safeguard: bool = True,
 ):
     """Full deployed setup: scale -> local solves -> (optional learned
-    refinement) -> scaling fold.  Returns (bands_eff (w, n_pad),
-    q_coeffs) ready for ``make_structured_poly_apply`` with the RAW
-    operator's matvec.  params=None gives classical FSAI (q = I)."""
+    refinement + spectral safeguard) -> scaling fold.  Returns
+    (bands_eff (w, n_pad), q_coeffs) ready for
+    ``make_structured_poly_apply`` with the RAW operator's matvec.
+    params=None gives classical FSAI (q = I).  ``safeguard`` clamps an
+    out-of-distribution polynomial wrap back to q = I when any of its
+    roots falls inside B's estimated spectral interval
+    (``poly_safeguard``)."""
     a_sorted = dia_sorted_by_offset(a_raw)
     a_scaled, d_sqrt = jacobi_scale_dia(a_sorted)
     c_bands = structured_fsai_columns(a_scaled, plan, chunk=chunk)
@@ -476,6 +537,10 @@ def structured_setup(
         valid = slot_valid(plan, a_sorted.n_pad).astype(c_bands.dtype)
         a_col = structured_a_col(a_scaled, plan)
         c_bands, q = structured_refine(params, c_bands, a_col, valid)
+        if safeguard and q.shape[0] > 1:
+            q, _, _ = poly_safeguard(
+                c_bands, q, a_scaled, plan.offsets
+            )
     d_isqrt = jnp.where(d_sqrt == 0, 0.0, 1.0 / d_sqrt)
     bands_eff = fold_scaling(c_bands, d_isqrt, plan.offsets)
     return bands_eff, q

@@ -129,7 +129,13 @@ def main() -> None:
 
     def case_loss(params, vals, b):
         a = DIAMatrix(vals=vals, offsets=offsets_a, n=n)
-        bands, q = structured_setup(a, plan, {"params": params})
+        # safeguard off in training: the clamp's jnp.where would zero
+        # q's gradients the moment it engages, freezing the head; the
+        # deployment-time safeguard (structured_setup default) is what
+        # protects out-of-distribution systems
+        bands, q = structured_setup(
+            a, plan, {"params": params}, safeguard=False
+        )
         m_data = (bands, q, a)
         bb = jnp.maximum(jnp.sum(b * b), 1e-30)
         x = jnp.zeros_like(b)
