@@ -128,13 +128,19 @@ def _spmv_throughput() -> dict:
         return x
 
     def timed(fn, *args, x0=None):
+        from deeppreconditioning_tpu.utils.profiling import fetch_sync
+
+        # y = f(y) dependency chain (laziness-proof) + VALUE-fetch
+        # barrier (block_until_ready does not reliably wait through
+        # the tunnel — MEASUREMENT.md); fetch RTT (~24 ms) amortizes
+        # over outer*K = 100 kernel invocations
         x = fn(*args, x0)
-        jax.block_until_ready(x)
+        fetch_sync(x)
         outer = 10
         start = time.perf_counter()
         for _ in range(outer):
             x = fn(*args, x)
-        jax.block_until_ready(x)
+        fetch_sync(x)
         return (time.perf_counter() - start) / (outer * K)
 
     out = {}
@@ -191,7 +197,7 @@ def _scaling_section() -> dict:
     from scaling_learned import run_scaling
 
     _, details = run_scaling(
-        [64], ckpt, sigma=1.0, reps=3,
+        [64], ckpt, sigma=1.0, reps=8,
         out=REPO / "assets" / "results" / "driver"
         / "scaling_learned_64.csv",
     )

@@ -852,7 +852,9 @@ class BenchmarkSuite:
         )
         jit0 = getattr(self, "_timing_jitter", None)
         if jit0 is not None:
-            scales0 = scales0 + jit0  # see run(): chained timing reps
+            # multiplicative: 1-ulp-relative, bitwise-distinct for any
+            # magnitude (see run()'s measurement contract)
+            scales0 = scales0 * (1.0 + jit0)
         setup_fn = (_fsai_range_setup_device if kind == "range"
                     else _fsai_setup_device)
         m = setup_fn(
@@ -895,7 +897,9 @@ class BenchmarkSuite:
         )
         jit0 = getattr(self, "_timing_jitter", None)
         if jit0 is not None:
-            scales0 = scales0 + jit0  # see run(): chained timing reps
+            # multiplicative: 1-ulp-relative, bitwise-distinct for any
+            # magnitude (see run()'s measurement contract)
+            scales0 = scales0 * (1.0 + jit0)
         m = _neural_fsai_setup_device(
             self.model, self.params, plan, operand, scales0,
             self._n0_dev, dtype=self.dtype,
@@ -929,7 +933,7 @@ class BenchmarkSuite:
             self._n0_cache = n0
         jit0 = getattr(self, "_timing_jitter", None)
         scales = (batch.scales if jit0 is None
-                  else batch.scales + jit0)  # chained timing reps
+                  else batch.scales * (1.0 + jit0))  # timing reps
         if self.learned_apply == "factor":
             plan = self._learned_plan(batch, ell)
             vals = _learned_factor_values(
@@ -1027,31 +1031,39 @@ class BenchmarkSuite:
                 # artifacts are dataset-level input prep (the analog of
                 # the solver's ELL form), built lazily on first touch —
                 # keep that host work out of the setup timing
+                from deeppreconditioning_tpu.utils.profiling import (
+                    fetch_sync,
+                    next_unique,
+                    time_dispatch_chain,
+                )
+
                 apply_m, m_data, _, _ = setup_fn(
                     a_sp, batch, ell, False, timing=True
                 )
-                jax.block_until_ready(m_data)
-                # chained timing reps: each rep's device-setup input is
-                # perturbed by a zero-valued scalar depending on the
-                # previous rep's output, so the tunneled runtime cannot
-                # serve repeats from cache nor overlap them (see
-                # _dense_m_from_groups)
-                self._timing_jitter = jnp.zeros((), self.dtype)
-                start = time.perf_counter()
-                for _ in range(self.timing_reps):
-                    apply_m, m_data, _, _ = setup_fn(
+                fetch_sync(m_data if m_data is not None else b_dev)
+
+                # measurement contract (MEASUREMENT.md): unique-valued
+                # multiplicative jitter per rep, device-tied chain,
+                # value-fetch sync, two-point slope.  The jitter rides
+                # self._timing_jitter into the device setups' scale
+                # inputs (multiplicative fold at the consumers).
+                def setup_step(i, tie):
+                    self._timing_jitter = (
+                        jnp.float32(next_unique() * 1.2e-7) + 0.0 * tie
+                    ).astype(self.dtype)
+                    _, md, _, _ = setup_fn(
                         a_sp, batch, ell, need_dense, timing=True
                     )
-                    flt = [x for x in jax.tree.leaves(m_data)
-                           if hasattr(x, "dtype")
-                           and jnp.issubdtype(x.dtype, jnp.floating)]
-                    if flt:
-                        self._timing_jitter = (
-                            flt[0].ravel()[0] * 0
-                        ).astype(self.dtype)
-                jax.block_until_ready(m_data)
-                setup = ((time.perf_counter() - start) /
-                         self.timing_reps if name != "vanilla" else 0.0)
+                    return md if md is not None else b_dev * 0
+
+                if name == "vanilla":
+                    setup = 0.0
+                else:
+                    r2 = max(self.timing_reps, 2)
+                    setup = time_dispatch_chain(
+                        setup_step, reps=(max(r2 // 3, 1), r2),
+                        blocks=1,
+                    )
                 self._timing_jitter = None
                 # statistics pass, outside the timed region
                 apply_m, m_data, density, m_sp = setup_fn(
@@ -1061,19 +1073,20 @@ class BenchmarkSuite:
 
                 # warm-up (compile+transfer) then amortized timed runs
                 res = self._solve(ell, b_dev, apply_m, m_data)
-                start = time.perf_counter()
-                b_rep = b_dev
-                for _ in range(self.timing_reps):
-                    res = preconditioned_conjugate_gradient(
-                        ell_matvec, ell, b_rep, apply_m, m_data,
+                r2 = max(self.timing_reps, 2)
+                duration = time_dispatch_chain(
+                    lambda i, tie: preconditioned_conjugate_gradient(
+                        ell_matvec, ell,
+                        b_dev * (
+                            1.0 + next_unique() * jnp.float32(1.2e-7)
+                            + 0.0 * tie
+                        ),
+                        apply_m, m_data,
                         rtol=self.rtol, max_iter=self.max_iter,
                         check_every=self.check_every,
-                    )
-                    b_rep = b_dev + res.x[0] * 0  # chain reps
-                jax.block_until_ready(res)
-                duration = (
-                    time.perf_counter() - start
-                ) / self.timing_reps
+                    ),
+                    reps=(max(r2 // 3, 1), r2), blocks=1,
+                )
 
                 if need_dense and m_sp is not None:
                     ma = (m_sp @ a_sp).toarray()
@@ -1289,6 +1302,7 @@ class BenchmarkSuite:
         setups."""
         common = self._batched_common()
         n_pad = common["n_pad"]
+        host_dominated = False
         if name == "vanilla":
             # z = 1.0 * r elementwise — numerically exact identity.
             # Passing identity_apply (z aliases r) makes XLA's CSE
@@ -1342,7 +1356,7 @@ class BenchmarkSuite:
                 return (jnp.concatenate(parts) if len(parts) > 1
                         else parts[0])
             apply_fn = _dense_apply_batched
-            setup_reps = 1  # host-dominated; one honest measurement
+            host_dominated = True  # one honest measurement
 
         elif name == "fsai":
             width, _, _ = self._fsai_meta(n_pad, self.fsai_power)
@@ -1414,33 +1428,36 @@ class BenchmarkSuite:
             def build(jitter):
                 return inner_build(jitter).astype(m_dtype)
 
+        from deeppreconditioning_tpu.utils.profiling import (
+            fetch_sync,
+            next_unique,
+            time_dispatch_chain,
+        )
+
         m0 = build(jnp.zeros((), self.dtype))  # warm-up (compile)
-        jax.block_until_ready(m0)
-        # bitwise-DISTINCT per-rep inputs (pre-staged, 1-ulp-scale
-        # RELATIVE jitter — numerically inert): the tunneled runtime can
-        # serve a repeat dispatch of an identical (executable, input
-        # values) pair from cache, and the former output-dependent
-        # chaining both fails to defeat that (the dependency is
-        # value-identical) and can add hundreds of ms of dependent-
-        # dispatch latency per rep — see MEASUREMENT.md.  The jitter is
-        # multiplicative because an additive 1e-12 disappears into O(1)
-        # f32 inputs (bitwise-identical dispatch again).
-        n_rep = max(setup_reps // 2, 1)
-        jitters = [jnp.float32((i + 1) * 1.2e-7) for i in range(n_rep)]
-        jax.block_until_ready(jitters)
-        block_times = []
-        for _ in range(2):  # best-of-two (see run_batched solve note)
+        fetch_sync(m0)
+        if host_dominated:
+            # host factorization IS the setup cost; one honest rep,
+            # value-fetch barrier (block_until_ready does not reliably
+            # wait through the tunnel — MEASUREMENT.md)
             start = time.perf_counter()
-            for jit_i in jitters:
-                m = build(jit_i)
-            jax.block_until_ready(m)
-            block_times.append(
-                (time.perf_counter() - start) / n_rep
-            )
-        del m
-        # the technique solves with the CLEAN warm-up build, not the
-        # last jittered rep
-        return apply_fn, m0, min(block_times)
+            m = build(jnp.float32(next_unique() * 1.2e-7))
+            fetch_sync(m)
+            setup_s = time.perf_counter() - start
+            del m
+            return apply_fn, m0, setup_s
+        # measurement contract (MEASUREMENT.md): every rep's input
+        # bitwise-distinct (unique 1-ulp-relative jitter), device-tied
+        # to the previous rep (a lazy runtime cannot skip reps), value-
+        # fetch synced, constant overhead removed by the two-point slope
+        setup_s = time_dispatch_chain(
+            lambda i, tie: build(
+                jnp.float32(next_unique() * 1.2e-7) + 0.0 * tie
+            ),
+            reps=(max(setup_reps // 6, 2), max(setup_reps // 2, 4)),
+        )
+        # the technique solves with the CLEAN warm-up build
+        return apply_fn, m0, setup_s
 
     def _banded_learned_setup(self, model, params, groups, d_max,
                               setup_reps, chunk, m_dtype):
@@ -1506,24 +1523,23 @@ class BenchmarkSuite:
         apply_fn = make_banded_poly_apply(
             inner_matvec, model.poly_degree
         )
+        from deeppreconditioning_tpu.utils.profiling import (
+            fetch_sync,
+            next_unique,
+            time_dispatch_chain,
+        )
+
         out0 = build(jnp.zeros((), self.dtype))  # warm-up (compile)
-        jax.block_until_ready(out0)
-        # distinct per-rep MULTIPLICATIVE jitters — see _batched_setup
-        n_rep = max(setup_reps // 2, 1)
-        jitters = [jnp.float32((i + 1) * 1.2e-7) for i in range(n_rep)]
-        jax.block_until_ready(jitters)
-        block_times = []
-        for _ in range(2):
-            start = time.perf_counter()
-            for jit_i in jitters:
-                out = build(jit_i)
-            jax.block_until_ready(out)
-            block_times.append(
-                (time.perf_counter() - start) / n_rep
-            )
-        del out
+        fetch_sync(out0)
+        # measurement contract — see _batched_setup
+        setup_s = time_dispatch_chain(
+            lambda i, tie: build(
+                jnp.float32(next_unique() * 1.2e-7) + 0.0 * tie
+            ),
+            reps=(max(setup_reps // 6, 2), max(setup_reps // 2, 4)),
+        )
         bands, qs = out0  # solve with the clean warm-up build
-        return apply_fn, (bands, qs, a_data), min(block_times)
+        return apply_fn, (bands, qs, a_data), setup_s
 
     def run_batched(self, techniques=None, reps: int = 10,
                     setup_reps: int = 20, chunk: int = 100,
@@ -1584,37 +1600,28 @@ class BenchmarkSuite:
                 apply_fn, m_data, rtol=self.rtol,
                 max_iter=self.max_iter, trips=trips,
             )
-            jax.block_until_ready(res_check)
-            # two independent timing blocks, best-of-two: the tunneled
-            # runtime occasionally executes an identical program ~3-8x
-            # slower for a stretch (observed on identical executables
-            # and inputs); min-of-blocks is the standard defense.
-            # Per-rep inputs are pre-staged bitwise-distinct rhs scales
-            # (b*(1+k*1.2e-7): identical iteration behavior — scaling b
-            # scales r and b.b together — but no two dispatches share
-            # input values, so neither the runtime's repeat-dispatch
-            # value cache nor dependent-dispatch latency can corrupt
-            # the measurement; see MEASUREMENT.md)
-            n_rep = max(reps // 2, 1)
-            b_variants = [
-                common["b"] * (1.0 + (i + 1) * jnp.float32(1.2e-7))
-                for i in range(n_rep)
-            ]
-            jax.block_until_ready(b_variants)
-            block_times = []
-            for _ in range(2):
-                start = time.perf_counter()
-                for b_rep in b_variants:
-                    res = batched_pcg_fixed_trips(
-                        _scaled_dense_matvec, a_data, b_rep,
-                        apply_fn, m_data, rtol=self.rtol,
-                        max_iter=self.max_iter, trips=trips,
-                    )
-                jax.block_until_ready(res)
-                block_times.append(
-                    (time.perf_counter() - start) / n_rep
-                )
-            solve_s = min(block_times)
+            from deeppreconditioning_tpu.utils.profiling import (
+                fetch_sync,
+                next_unique,
+                time_dispatch_chain,
+            )
+
+            fetch_sync(res_check)
+            # measurement contract (MEASUREMENT.md): unique-valued rhs
+            # scales per rep (b*(1+k*1.2e-7) is iteration-invariant),
+            # device-tied chain, value-fetch sync, two-point slope
+            solve_s = time_dispatch_chain(
+                lambda i, tie: batched_pcg_fixed_trips(
+                    _scaled_dense_matvec, a_data,
+                    common["b"] * (
+                        1.0 + next_unique() * jnp.float32(1.2e-7)
+                        + 0.0 * tie
+                    ),
+                    apply_fn, m_data, rtol=self.rtol,
+                    max_iter=self.max_iter, trips=trips,
+                ),
+                reps=(max(reps // 3, 2), max(reps, 4)),
+            )
             # iteration counts / convergence come from the UNSCALED-b
             # fixed-trip run (res_check): the timed variants' 1.2e-7
             # rhs scaling is iteration-invariant in exact arithmetic

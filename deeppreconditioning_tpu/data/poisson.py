@@ -31,6 +31,7 @@ def poisson_coeff_dia(
     sigma: float = 1.0,
     dtype=jnp.float32,
     n_pad: Optional[int] = None,
+    aniso: Optional[Sequence[float]] = None,
 ) -> DIAMatrix:
     """-div(kappa grad) on a uniform grid as DIA.
 
@@ -39,6 +40,14 @@ def poisson_coeff_dia(
     Face coefficient between neighboring cells = harmonic mean of the
     two cell kappas; boundary faces contribute kappa_cell to the
     diagonal (Dirichlet ghost of equal coefficient).
+
+    aniso: optional per-axis face-coefficient multipliers — the
+    discrete effect of high-aspect-ratio cells (a pressure solve on a
+    stretched FVM mesh: face area / cell distance scales per axis,
+    exactly how the reference's fvm::laplacian coefficients arise,
+    pEqn.H:43-46).  Unlike lognormal point contrast, anisotropy is NOT
+    absorbed by symmetric Jacobi scaling — the family where iteration
+    counts, not setup floors, dominate solver wall-clock.
     """
     shape = tuple(int(s) for s in shape)
     ndim = len(shape)
@@ -58,12 +67,16 @@ def poisson_coeff_dia(
     def harm(a, b):
         return 2.0 * a * b / (a + b)
 
+    aniso = (np.ones(ndim) if aniso is None
+             else np.asarray(aniso, np.float64))
     for ax in range(ndim):
         lo_all = [slice(None)] * ndim
         hi_all = [slice(None)] * ndim
         lo_all[ax] = slice(0, shape[ax] - 1)
         hi_all[ax] = slice(1, shape[ax])
-        face = harm(kappa[tuple(lo_all)], kappa[tuple(hi_all)])
+        face = aniso[ax] * harm(
+            kappa[tuple(lo_all)], kappa[tuple(hi_all)]
+        )
         diag[tuple(lo_all)] += face
         diag[tuple(hi_all)] += face
         # boundary (Dirichlet ghost with the cell's own coefficient)
@@ -71,8 +84,8 @@ def poisson_coeff_dia(
         last = [slice(None)] * ndim
         first[ax] = 0
         last[ax] = shape[ax] - 1
-        diag[tuple(first)] += kappa[tuple(first)]
-        diag[tuple(last)] += kappa[tuple(last)]
+        diag[tuple(first)] += aniso[ax] * kappa[tuple(first)]
+        diag[tuple(last)] += aniso[ax] * kappa[tuple(last)]
         # off-diagonals: vals[d, i] multiplies x[i + off]
         pos = offsets.index(strides[ax])
         neg = offsets.index(-strides[ax])
@@ -90,6 +103,40 @@ def poisson_coeff_dia(
     return DIAMatrix(
         vals=jnp.asarray(vals, dtype), offsets=tuple(offsets), n=n
     )
+
+
+def poisson_rhs_sequence(
+    a: DIAMatrix,
+    k: int,
+    rng: Optional[np.random.Generator] = None,
+    step: float = 0.1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Evolving-rhs sequence over a FIXED operator (multi-RHS realism).
+
+    The reference's real workload is time stepping: one pressure solve
+    per PIMPLE corrector per time step against the SAME operator while
+    the right-hand side drifts smoothly
+    (foam/newInterFoam/newInterFoam.C:145-148, pEqn.H:43-49) — i.e. a
+    preconditioner setup is amortized over many solves.  This emits the
+    matching protocol input: x*_t random-walks with relative step
+    ``step`` (x*_{t+1} = x*_t + step * noise), b_t = A x*_t.
+
+    Returns (b_seq (k, n_pad), x_seq (k, n_pad)) float32.
+    """
+    rng = rng or np.random.default_rng(0)
+    n, n_pad = a.n, a.n_pad
+    x = np.zeros(n_pad, np.float32)
+    x[:n] = rng.standard_normal(n)
+    xs, bs = [], []
+    for _ in range(k):
+        xs.append(x.copy())
+        bs.append(np.asarray(a.matvec(jnp.asarray(x))))
+        nxt = x.copy()
+        nxt[:n] = x[:n] + step * rng.standard_normal(n).astype(
+            np.float32
+        )
+        x = nxt
+    return np.stack(bs), np.stack(xs)
 
 
 def poisson_family(

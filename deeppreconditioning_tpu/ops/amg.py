@@ -214,11 +214,36 @@ def _pad8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
+def _filter_weak(a_c: sp.csr_matrix, eps: float) -> sp.csr_matrix:
+    """Drop |a_ij| < eps * sqrt(a_ii a_jj) off-diagonals, lumping them
+    into the diagonal (preserves row sums / SPD-ness in practice —
+    standard SA stencil-growth control).  Smoothed-aggregation Galerkin
+    products grow the stencil every level; unfiltered, the coarse
+    matmats dominated the 2M-row setup wall-clock."""
+    coo = a_c.tocoo()
+    d = np.sqrt(np.abs(a_c.diagonal()))
+    i, j, v = coo.row, coo.col, coo.data
+    weak = (i != j) & (np.abs(v) < eps * d[i] * d[j])
+    keep = ~weak
+    lump = np.zeros(a_c.shape[0])
+    np.add.at(lump, i[weak], v[weak])
+    out = sp.csr_matrix(
+        (np.concatenate([v[keep], lump]),
+         (np.concatenate([i[keep], np.arange(a_c.shape[0])]),
+          np.concatenate([j[keep], np.arange(a_c.shape[0])]))),
+        shape=a_c.shape,
+    )
+    out.sum_duplicates()
+    return out
+
+
 def build_amg(
     a: sp.spmatrix,
     n_pad: Optional[int] = None,
     omega: float = 0.67,
     theta: float = 0.08,
+    theta_coarse: float = 0.0,
+    filter_eps: float = 1e-3,
     dtype=jnp.float32,
     coarse_target: int = 512,
     max_levels: int = 16,
@@ -235,6 +260,15 @@ def build_amg(
     iterations for the deep hierarchy on 48^2 Poisson; piecewise-
     constant P0 (False) keeps transfers as pure segment-sum/gather and
     the coarse stencils minimal (memory-lean at extreme n).
+
+    Scale knobs (the r4 build never ran past n~5k; at 128^3 = 2M rows
+    the unfiltered recursion wedged in sparse matmats): ``theta_coarse``
+    applies below the finest level — Galerkin coarse operators spread
+    magnitude over grown stencils, where the fine-level theta shreds
+    the graph into pair aggregates (coarsening factor ~2.5 instead of
+    ~8-30) and the slowly-shrinking dense-ish levels dominate setup;
+    ``filter_eps`` lumps vanishing off-diagonals after each Galerkin
+    product to bound stencil growth.
     """
     csr = sp.csr_matrix(a, dtype=np.float64)
     n = csr.shape[0]
@@ -250,12 +284,16 @@ def build_amg(
         not levels or lvl_csr.shape[0] > coarse_target
     ):
         nf = lvl_csr.shape[0]
-        agg, nc = _aggregate(lvl_csr, theta)
+        agg, nc = _aggregate(
+            lvl_csr, theta if not levels else theta_coarse
+        )
         if nc >= nf:  # coarsening stalled (every node a singleton)
             break
         smooth_w = omega if smooth_prolongation else None
         p = _prolongation(lvl_csr, agg, nc, smooth_w)
         a_c = (p.T @ lvl_csr @ p).tocsr()
+        if filter_eps:
+            a_c = _filter_weak(a_c, filter_eps)
         nc_pad = _pad8(nc)
 
         agg_pad = np.full(lvl_pad, nc_pad, np.int32)

@@ -405,6 +405,67 @@ def offset_lower_matvec(bands, t, offsets: Tuple[int, ...]):
     return functools.reduce(jnp.add, terms)
 
 
+def bands_to_dia(
+    bands: jax.Array,  # (w, n_pad) offset-band factor C
+    offsets: Tuple[int, ...],
+    n: int,
+) -> Tuple[DIAMatrix, DIAMatrix]:
+    """Offset-band factor -> (C^T, C) as DIAMatrix operators.
+
+    ``offset_upper_matvec`` IS a DIA SpMV with positive offsets
+    (t[j] = sum_k bands[k, j] r[j + o_k]), so C^T wraps the band array
+    unchanged.  C's matvec (z[i] = sum_k bands[k, i - o_k] t[i - o_k])
+    re-bases each band to row-major ONCE at setup
+    (rb[k, i] = bands[k, i - o_k], a static pad per band) and becomes a
+    DIA SpMV with the negated offsets.  Both halves then run through
+    the streaming Pallas DIA kernel (ops/pallas_spmv.dia_matvec) on
+    TPU — one VMEM-tiled pass per half instead of the ~w pad+add XLA
+    fusions of the offset form (VERDICT r4 next #1a).
+    """
+    n_pad = bands.shape[1]
+    rows = []
+    for k, off in enumerate(offsets):
+        if off == 0:
+            rows.append(bands[k])
+        else:
+            rows.append(jnp.pad(bands[k, :n_pad - off], (off, 0)))
+    rb = jnp.stack(rows)
+    c_up = DIAMatrix(vals=bands, offsets=tuple(offsets), n=n)
+    c_low = DIAMatrix(
+        vals=rb, offsets=tuple(-o for o in offsets), n=n
+    )
+    return c_up, c_low
+
+
+def make_structured_poly_apply_dia(degree: int):
+    """Pallas-kernel twin of ``make_structured_poly_apply``.
+
+    m_data = (c_up, c_low, q_coeffs, a_raw) with (c_up, c_low) from
+    ``bands_to_dia``; every factor half and operator matvec is one
+    streaming DIA kernel pass (XLA form off-TPU — bit-compatible
+    semantics, parity-tested)."""
+    from deeppreconditioning_tpu.ops.pallas_spmv import dia_matvec
+
+    def apply_fn(m_data, r: jax.Array) -> jax.Array:
+        c_up, c_low, q_coeffs, a_raw = m_data
+        dtype = r.dtype
+
+        def b_(t):
+            return dia_matvec(
+                c_up, dia_matvec(a_raw, dia_matvec(c_low, t))
+            ).astype(dtype)
+
+        def q_(t):
+            u = q_coeffs[degree] * t
+            for i in range(degree - 1, -1, -1):
+                u = b_(u) + q_coeffs[i] * t
+            return u
+
+        return dia_matvec(c_low, q_(q_(dia_matvec(c_up, r))))
+
+    return apply_fn
+
+
 def make_structured_poly_apply(offsets: Tuple[int, ...], degree: int):
     """Suite-style apply factory: z = C q(B) q(B)^T C^T r with
     m_data = (bands_eff, q_coeffs, a_raw: DIAMatrix) — the structured
@@ -439,8 +500,8 @@ def poly_safeguard(
     q_coeffs: jax.Array,  # (d+1,)
     a_scaled: DIAMatrix,
     offsets: Tuple[int, ...],
-    iters: int = 16,
-    margin: float = 1.1,
+    iters: int = 8,
+    margin: float = 1.15,
     grid: int = 65,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Clamp an unsafe polynomial wrap back to q = I at setup time.
@@ -465,10 +526,17 @@ def poly_safeguard(
     """
     n_pad = bands.shape[1]
     dtype = bands.dtype
+    # B-applies through the streaming DIA kernel: the offset-form
+    # matvecs cost ~3.5 ms each at 128^3 (the r5 first cut spent 56 ms
+    # of setup here); the DIA views run the same math at ~0.6 ms
+    from deeppreconditioning_tpu.ops.pallas_spmv import dia_matvec
+
+    c_up, c_low = bands_to_dia(bands, offsets, a_scaled.n)
 
     def b_(t):
-        u = offset_lower_matvec(bands, t, offsets)
-        return offset_upper_matvec(bands, a_scaled.matvec(u), offsets)
+        return dia_matvec(
+            c_up, dia_matvec(a_scaled, dia_matvec(c_low, t))
+        )
 
     # deterministic, sign-rich start vector (no data dependence)
     v = jnp.sin(jnp.arange(n_pad, dtype=dtype) * 0.7) + 0.5

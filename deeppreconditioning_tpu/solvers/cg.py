@@ -311,6 +311,41 @@ def pcg_fixed_trips(
     return CGResult(x=x, iterations=k, residual=jnp.dot(r, r) / bb)
 
 
+@partial(jax.jit,
+         static_argnames=("matvec", "apply_m", "max_iter", "trips"))
+def pcg_sequence_fixed_trips(
+    matvec: Callable[[Any, jax.Array], jax.Array],
+    a_data: Any,
+    b_seq: jax.Array,  # (k, n) rhs sequence, solved in order
+    apply_m: Callable[[Any, jax.Array], jax.Array] = identity_apply,
+    m_data: Any = None,
+    rtol: float = 1e-8,
+    max_iter: int = 1024,
+    trips: int = 8,
+):
+    """K sequential solves of ONE operator (multi-RHS / time-stepping
+    protocol) in a single dispatch.
+
+    The reference's production shape: the pressure operator is reused
+    across every PIMPLE corrector of a time step while the rhs evolves
+    (newInterFoam.C:145-148, pEqn.H:43-49) — the preconditioner setup
+    amortizes over the sequence.  Implemented as a ``lax.scan`` over
+    the rhs stack with the flat fixed-trip solver body (each solve
+    starts from x0 = 0, matching the reference's cg.py:58 cold start).
+
+    Returns (x_seq (k, n), iterations (k,), residuals (k,)).
+    """
+    def one(carry, b_t):
+        res = pcg_fixed_trips(
+            matvec, a_data, b_t, apply_m, m_data,
+            rtol=rtol, max_iter=max_iter, trips=trips,
+        )
+        return carry, (res.x, res.iterations, res.residual)
+
+    _, (xs, its, ress) = jax.lax.scan(one, 0, b_seq)
+    return xs, its, ress
+
+
 def conjugate_gradient(
     matvec: Callable[[Any, jax.Array], jax.Array],
     a_data: Any,

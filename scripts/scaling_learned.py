@@ -29,7 +29,7 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
-                out=None):
+                out=None, k_solves=None, seq_out=None, rhs="random"):
     """Run the scaling comparison; returns (rows, details).
 
     Importable by bench.py for the driver's scaling section — it must
@@ -41,18 +41,29 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
     import numpy as np
     from flax import serialization
 
-    from deeppreconditioning_tpu.data.poisson import poisson_coeff_dia
+    from deeppreconditioning_tpu.data.poisson import (
+        poisson_coeff_dia,
+        poisson_rhs_sequence,
+    )
+    from deeppreconditioning_tpu.ops.pallas_spmv import dia_matvec
     from deeppreconditioning_tpu.ops.structured_fsai import (
+        bands_to_dia,
         build_structured_plan,
         dia_sorted_by_offset,
-        make_structured_poly_apply,
+        make_structured_poly_apply_dia,
         structured_setup,
     )
     from deeppreconditioning_tpu.solvers.cg import (
         pcg_fixed_trips,
+        pcg_sequence_fixed_trips,
         preconditioned_conjugate_gradient,
     )
     from deeppreconditioning_tpu.sparse.dia import poisson_dia
+    from deeppreconditioning_tpu.utils.profiling import (
+        fetch_sync,
+        next_unique,
+        time_chain,
+    )
 
     ckpt_path = Path(ckpt)
     payload = serialization.msgpack_restore(ckpt_path.read_bytes())
@@ -64,9 +75,12 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
           flush=True)
 
     def matvec(a_data, x):
-        return a_data.matvec(x)
+        # Pallas streaming DIA kernel on TPU (every technique's CG
+        # operator — the XLA shifted-slice form elsewhere)
+        return dia_matvec(a_data, x)
 
     rows = []
+    seq_rows = []
     details = {}
     for side in shapes:
         shape = (side, side, side)
@@ -80,9 +94,23 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
         a = dia_sorted_by_offset(a)
         n = a.n
         rng = np.random.default_rng(2)
-        x_star = np.zeros(a.n_pad, np.float32)
-        x_star[:n] = rng.standard_normal(n)
-        b = jnp.asarray(np.asarray(a.matvec(jnp.asarray(x_star))))
+        if rhs == "ax":
+            # known-solution rhs (b = A x*): exact-error reporting, but
+            # self-regularizing — the hard modes' rhs components are
+            # scaled down by their own tiny eigenvalues, so iteration
+            # counts underestimate the physical workload
+            x_star = np.zeros(a.n_pad, np.float32)
+            x_star[:n] = rng.standard_normal(n)
+            b = jnp.asarray(np.asarray(a.matvec(jnp.asarray(x_star))))
+        else:
+            # physical rhs (A-independent source, the reference's real
+            # workload shape: pEqn.H:43-46's rhs is div(phiHbyA), not
+            # A times anything): the solver must resolve the
+            # ill-conditioned modes — iterations triple vs b = A x*
+            x_star = None
+            b_np = np.zeros(a.n_pad, np.float32)
+            b_np[:n] = rng.standard_normal(n)
+            b = jnp.asarray(b_np)
         plan = build_structured_plan(shape, power=power)
         diag_idx = a.offsets.index(0)
         inv_diag = jnp.where(
@@ -91,35 +119,33 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
         )
 
         def time_setup(fn, reps):
-            out0 = fn(jnp.zeros((), jnp.float32))
-            jax.block_until_ready(out0)
-            # bitwise-distinct per-rep inputs (no chaining): the
-            # tunneled runtime value-caches identical dispatches and
-            # adds latency to dependent ones — MEASUREMENT.md.  The
-            # jitter is applied MULTIPLICATIVELY by every fn below
-            # (x * (1 + jit)): one-ulp relative, so the dispatch is
-            # bitwise distinct for any input magnitude (an additive
-            # 1e-12 vanishes against O(1) f32 values)
-            jitters = [jnp.float32((i + 1) * 1.2e-7)
-                       for i in range(reps)]
-            jax.block_until_ready(jitters)
-            best = np.inf
-            for _ in range(2):
-                t0 = time.perf_counter()
-                for jit in jitters:
-                    out = fn(jit)
-                jax.block_until_ready(out)
-                best = min(best,
-                           (time.perf_counter() - t0) / reps)
-            del out
-            return out0, best
+            """Clean warm-up result + scan-chained two-point timing
+            (utils/profiling.time_chain — every rep bitwise-distinct,
+            carry-tied, value-fetch synced; see MEASUREMENT.md)."""
+            out0 = fn(a, jnp.zeros((), jnp.float32))
+            fetch_sync(out0)
+            secs = time_chain(
+                fn, a,
+                lambda i: jnp.float32(next_unique() * 1.2e-7),
+                reps=(max(reps // 3, 2), reps),
+            )
+            return out0, secs
 
         techniques = {}
         techniques["vanilla"] = (None, None, 0.0)
 
-        @jax.jit
-        def jacobi_build(jit):
-            return inv_diag * (1.0 + jit)
+        def jitter_a(a_, jit):
+            return jax.tree.map(
+                lambda x: (x * (1.0 + jit)
+                           if x.dtype == jnp.float32 else x),
+                a_,
+            )
+
+        def jacobi_build(a_, jit):
+            a_j = jitter_a(a_, jit)
+            d = a_j.vals[diag_idx]
+            return jnp.where(d == 0, 0.0,
+                             1.0 / jnp.where(d == 0, 1.0, d))
 
         md, setup_s = time_setup(jacobi_build, reps)
 
@@ -128,38 +154,30 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
 
         techniques["jacobi"] = (diag_apply, md, setup_s)
 
-        setup_jit = jax.jit(
-            lambda jit, params=None: structured_setup(
-                jax.tree.map(
-                    lambda x: (x * (1.0 + jit)
-                               if x.dtype == jnp.float32 else x),
-                    a,
-                ),
-                plan, params,
-            )
+        # full timed setup: scale -> local solves -> (refine + spectral
+        # safeguard) -> fold -> DIA operator views for the Pallas apply
+        def make_setup(p):
+            def fn(a_, jit):
+                bands, q = structured_setup(jitter_a(a_, jit), plan, p)
+                c_up, c_low = bands_to_dia(bands, plan.offsets, a.n)
+                return c_up, c_low, q
+            return fn
+
+        (c_up, c_low, q), setup_s = time_setup(make_setup(None), reps)
+        apply_fsai = make_structured_poly_apply_dia(0)
+        techniques["fsai"] = (apply_fsai, (c_up, c_low, q, a), setup_s)
+
+        (c_up_l, c_low_l, q_l), setup_s = time_setup(
+            make_setup(params), reps
         )
-
-        def fsai_build(jit):
-            return setup_jit(jit)
-
-        (bands, q), setup_s = time_setup(fsai_build, reps)
-        apply_fsai = make_structured_poly_apply(plan.offsets, 0)
-        techniques["fsai"] = (apply_fsai, (bands, q, a), setup_s)
-
-        setup_learned = jax.jit(
-            lambda jit: structured_setup(
-                jax.tree.map(
-                    lambda x: (x * (1.0 + jit)
-                               if x.dtype == jnp.float32 else x),
-                    a,
-                ),
-                plan, params,
-            )
+        apply_learned = make_structured_poly_apply_dia(degree)
+        techniques["learned"] = (
+            apply_learned, (c_up_l, c_low_l, q_l, a), setup_s
         )
-        (bands_l, q_l), setup_s = time_setup(setup_learned, reps)
-        apply_learned = make_structured_poly_apply(plan.offsets, degree)
-        techniques["learned"] = (apply_learned, (bands_l, q_l, a),
-                                 setup_s)
+        learned_fell_back = bool(np.allclose(
+            np.asarray(q_l),
+            np.eye(1, int(np.asarray(q_l).shape[0]))[0],
+        ))
 
         # flat single-system solvers: a B=1 batch wrapper degrades
         # the shifted-slice applies' fusion 5x (see
@@ -186,47 +204,142 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
             # accuracy from the UNSCALED-b fixed-trip solve: the timed
             # variants below scale b by 1+k*1.2e-7, which would floor
             # the reported relative error near ~5e-7 regardless of the
-            # actual solve accuracy (ADVICE r4 #2)
-            err = float(jnp.linalg.norm(res.x[:n] - x_star[:n])
-                        / np.linalg.norm(x_star[:n]))
-            b_variants = [
-                b * (1.0 + (i + 1) * jnp.float32(1.2e-7))
-                for i in range(reps)
-            ]
-            jax.block_until_ready(b_variants)
-            best = np.inf
-            for _ in range(2):
-                t0 = time.perf_counter()
-                for b_rep in b_variants:
-                    res = pcg_fixed_trips(
-                        matvec, a, b_rep, rtol=rtol,
-                        trips=trips, **kwargs
+            # actual solve accuracy (ADVICE r4 #2).  random-rhs mode has
+            # no known solution; the converged flag carries correctness
+            err = (float(jnp.linalg.norm(res.x[:n] - x_star[:n])
+                         / np.linalg.norm(x_star[:n]))
+                   if x_star is not None else float("nan"))
+
+            def solve_fn(ops, b_, _ap=apply_fn, _tr=trips):
+                a_, md = ops
+                if _ap is None:
+                    return pcg_fixed_trips(
+                        matvec, a_, b_, rtol=rtol, trips=_tr
                     )
-                jax.block_until_ready(res.x)
-                best = min(best, (time.perf_counter() - t0) / reps)
-            solve_s = best
+                return pcg_fixed_trips(
+                    matvec, a_, b_, apply_m=_ap, m_data=md,
+                    rtol=rtol, trips=_tr,
+                )
+
+            solve_s = time_chain(
+                solve_fn,
+                (a, m_data),
+                lambda i: b * (
+                    1.0 + next_unique() * jnp.float32(1.2e-7)
+                ),
+                reps=(max(reps // 3, 2), reps),
+            )
             rows.append({
                 "shape": f"{side}^3", "technique": name, "n": n,
+                "sigma": sigma,
                 "iterations": iters,
                 "setup_s": round(setup_s, 6),
                 "solve_s": round(solve_s, 6),
                 "total_s": round(setup_s + solve_s, 6),
                 "converged": ok, "x_rel_err": round(err, 8),
             })
+            if name == "learned":
+                rows[-1]["safeguard_fallback"] = learned_fell_back
             details[f"{side}_{name}"] = {
                 "it": iters, "total_ms": round(
                     (setup_s + solve_s) * 1e3, 1),
             }
             print(rows[-1], flush=True)
 
-    if out is not None:
-        out = Path(out)
-        out.parent.mkdir(parents=True, exist_ok=True)
-        keys = list(rows[0].keys())
-        with out.open("w") as fio:
+            # multi-RHS / time-stepping protocol (VERDICT r4 next #3):
+            # k solves of the SAME operator with an evolving rhs in one
+            # scan dispatch — the workload shape of the reference's
+            # PIMPLE corrector loop (pEqn.H:43-49).  Reuses this
+            # technique's setup; reports total_s(k) = setup + solves.
+            for k in (k_solves or ()):
+                if x_star is not None:
+                    b_seq = jnp.asarray(poisson_rhs_sequence(
+                        a, k, np.random.default_rng(7 + k)
+                    )[0])
+                else:
+                    # evolving SOURCE sequence (random-rhs protocol):
+                    # the rhs itself random-walks, as the physical
+                    # source terms do across PIMPLE correctors
+                    rk = np.random.default_rng(7 + k)
+                    seq = np.zeros((k, a.n_pad), np.float32)
+                    cur = np.asarray(b).copy()
+                    for t in range(k):
+                        seq[t] = cur
+                        cur = cur.copy()
+                        cur[:n] += 0.1 * rk.standard_normal(n).astype(
+                            np.float32
+                        )
+                    b_seq = jnp.asarray(seq)
+                # headroom over the single-rhs trip count: the drifting
+                # rhs can need a few more iterations than b did
+                trips = min(int(iters * 1.3) + 4, 1024)
+                xs, its_seq, ress = pcg_sequence_fixed_trips(
+                    matvec, a, b_seq, rtol=rtol, trips=trips, **kwargs
+                )
+                fetch_sync(xs)
+                seq_ok = bool((np.asarray(ress) < rtol).all())
+
+                def seq_fn(ops, bs_, _ap=apply_fn, _tr=trips):
+                    a_, md = ops
+                    if _ap is None:
+                        return pcg_sequence_fixed_trips(
+                            matvec, a_, bs_, rtol=rtol, trips=_tr
+                        )
+                    return pcg_sequence_fixed_trips(
+                        matvec, a_, bs_, apply_m=_ap, m_data=md,
+                        rtol=rtol, trips=_tr,
+                    )
+
+                best_k = time_chain(
+                    seq_fn, (a, m_data),
+                    lambda i: b_seq * (
+                        1.0 + next_unique() * jnp.float32(1.2e-7)
+                    ),
+                    reps=(2, max(reps // 2, 4)),
+                )
+                seq_rows.append({
+                    "shape": f"{side}^3", "technique": name, "n": n,
+                    "sigma": sigma, "k_solves": k,
+                    "iterations_mean": round(
+                        float(np.asarray(its_seq).mean()), 2),
+                    "setup_s": round(setup_s, 6),
+                    "solves_s": round(best_k, 6),
+                    "total_s": round(setup_s + best_k, 6),
+                    "converged": seq_ok,
+                })
+                print(seq_rows[-1], flush=True)
+
+        # measured crossover: smallest k where the learned total beats
+        # every classical technique's total at the same k
+        if k_solves:
+            for k in k_solves:
+                at_k = {r["technique"]: r["total_s"] for r in seq_rows
+                        if r["k_solves"] == k
+                        and r["shape"] == f"{side}^3"}
+                if "learned" in at_k and at_k["learned"] <= min(
+                    v for t, v in at_k.items() if t != "learned"
+                ):
+                    details[f"{side}_crossover_k"] = k
+                    break
+
+    def write_csv(path, rs):
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        keys = list(rs[0].keys())
+        if any("safeguard_fallback" in r for r in rs):
+            keys = [k for k in rs[0] if k != "safeguard_fallback"]
+            keys.append("safeguard_fallback")
+        with path.open("w") as fio:
             fio.write(",".join(keys) + "\n")
-            for r in rows:
-                fio.write(",".join(str(r[k]) for k in keys) + "\n")
+            for r in rs:
+                fio.write(",".join(
+                    str(r.get(k, "")) for k in keys
+                ) + "\n")
+
+    if out is not None and rows:
+        write_csv(out, rows)
+    if seq_out is not None and seq_rows:
+        write_csv(seq_out, seq_rows)
     return rows, details
 
 
@@ -238,7 +351,7 @@ def main() -> None:
         default=str(REPO / "assets" / "checkpoints_structured"
                     / "best.msgpack"),
     )
-    parser.add_argument("--reps", type=int, default=4)
+    parser.add_argument("--reps", type=int, default=12)
     parser.add_argument("--sigma", type=float, default=1.0,
                         help="coefficient-field contrast (lognormal "
                         "sigma; the checkpoint's training family) — "
@@ -251,6 +364,20 @@ def main() -> None:
     )
     parser.add_argument("--platform", default=None,
                         choices=["cpu", "tpu"])
+    parser.add_argument("--rhs", default="random",
+                        choices=["random", "ax"],
+                        help="rhs protocol: 'random' (A-independent "
+                        "physical source) or 'ax' (b = A x*, known "
+                        "solution)")
+    parser.add_argument(
+        "--k-solves", default="",
+        help="comma list of sequence lengths for the multi-RHS "
+        "protocol (e.g. 2,4,8); empty disables it",
+    )
+    parser.add_argument(
+        "--seq-out",
+        default=str(REPO / "assets" / "results" / "multi_rhs.csv"),
+    )
     args = parser.parse_args()
 
     import jax
@@ -258,10 +385,12 @@ def main() -> None:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    ks = [int(s) for s in args.k_solves.split(",") if s]
     _, details = run_scaling(
         [int(s) for s in args.shapes.split(",")],
         args.ckpt, sigma=args.sigma, reps=args.reps, rtol=args.rtol,
-        out=args.out,
+        out=args.out, k_solves=ks or None,
+        seq_out=args.seq_out if ks else None, rhs=args.rhs,
     )
     print("JSON:" + json.dumps(details), flush=True)
 

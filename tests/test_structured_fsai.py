@@ -298,3 +298,65 @@ def test_safeguard_sigma_sweep_no_breakdowns():
             assert not fell_back, (sigma, np.asarray(q))
         if sigma == 3.0:
             assert fell_back, (sigma, np.asarray(q))
+
+
+def test_dia_apply_matches_offset_apply_and_sequence_solver():
+    """bands_to_dia + make_structured_poly_apply_dia reproduce the
+    offset-form apply exactly (the Pallas kernel shares the XLA
+    matvec's semantics off-TPU), and pcg_sequence_fixed_trips matches
+    k independent flat solves."""
+    from deeppreconditioning_tpu.data.poisson import (
+        poisson_rhs_sequence,
+    )
+    from deeppreconditioning_tpu.ops.structured_fsai import (
+        bands_to_dia,
+        make_structured_poly_apply_dia,
+    )
+    from deeppreconditioning_tpu.solvers.cg import (
+        pcg_fixed_trips,
+        pcg_sequence_fixed_trips,
+    )
+
+    shape = (6, 5, 4)
+    a = dia_sorted_by_offset(poisson_coeff_dia(
+        shape, rng=np.random.default_rng(3), sigma=1.0,
+        dtype=jnp.float64,
+    ))
+    plan = build_structured_plan(shape, power=2)
+    bands, q = structured_setup(a, plan)
+    q2 = jnp.asarray([0.9, -0.1])  # exercise degree 1
+    r = jnp.asarray(np.random.default_rng(4).standard_normal(a.n_pad))
+
+    old = make_structured_poly_apply(plan.offsets, 1)(
+        (bands, q2, a), r
+    )
+    c_up, c_low = bands_to_dia(bands, plan.offsets, a.n)
+    new = make_structured_poly_apply_dia(1)((c_up, c_low, q2, a), r)
+    np.testing.assert_allclose(
+        np.asarray(new), np.asarray(old), rtol=1e-12, atol=1e-14
+    )
+
+    # sequence solver == k independent fixed-trip solves
+    b_seq, x_seq = poisson_rhs_sequence(
+        a, 3, np.random.default_rng(5)
+    )
+    apply_fn = make_structured_poly_apply_dia(0)
+    m_data = (c_up, c_low, jnp.ones((1,), jnp.float64), a)
+    xs, its, ress = pcg_sequence_fixed_trips(
+        lambda ad, x: ad.matvec(x), a, jnp.asarray(b_seq),
+        apply_m=apply_fn, m_data=m_data, trips=40,
+    )
+    for t in range(3):
+        one = pcg_fixed_trips(
+            lambda ad, x: ad.matvec(x), a, jnp.asarray(b_seq[t]),
+            apply_m=apply_fn, m_data=m_data, trips=40,
+        )
+        assert int(its[t]) == int(one.iterations)
+        np.testing.assert_allclose(
+            np.asarray(xs[t]), np.asarray(one.x), rtol=1e-12
+        )
+        assert float(ress[t]) < 1e-8
+        n = a.n
+        err = (np.linalg.norm(np.asarray(xs[t])[:n] - x_seq[t][:n])
+               / np.linalg.norm(x_seq[t][:n]))
+        assert err < 1e-4
