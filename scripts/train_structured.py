@@ -44,6 +44,10 @@ def main() -> None:
                         help="coefficient contrast: a float, or "
                         "'LO:HI' for per-sample uniform draws (trains "
                         "a contrast-robust head)")
+    parser.add_argument("--rhs", default="random",
+                        choices=["random", "ax"],
+                        help="training rhs protocol — match the "
+                        "deployment benchmark (scaling_learned --rhs)")
     parser.add_argument("--seed", type=int, default=69)
     parser.add_argument("--platform", default=None,
                         choices=["cpu", "tpu"])
@@ -91,10 +95,15 @@ def main() -> None:
             shape, rng=rng, sigma=float(rng.uniform(lo, hi)),
             dtype=jnp.float32,
         ))
-        x_star = np.zeros(a.n_pad, np.float32)
-        x_star[:a.n] = rng.standard_normal(a.n)
         mats.append(np.asarray(a.vals))
-        rhss.append(np.asarray(a.matvec(jnp.asarray(x_star))))
+        if args.rhs == "ax":
+            x_star = np.zeros(a.n_pad, np.float32)
+            x_star[:a.n] = rng.standard_normal(a.n)
+            rhss.append(np.asarray(a.matvec(jnp.asarray(x_star))))
+        else:
+            b_np = np.zeros(a.n_pad, np.float32)
+            b_np[:a.n] = rng.standard_normal(a.n)
+            rhss.append(b_np)
     a0 = dia_sorted_by_offset(poisson_coeff_dia(
         shape, rng=np.random.default_rng(0), dtype=jnp.float32
     ))
@@ -194,6 +203,7 @@ def main() -> None:
         "family": "structured_poisson",
         "train_shape": list(shape),
         "sigma": [lo, hi],
+        "rhs": args.rhs,
         "final_loss": best[0],
     }
     out.write_bytes(serialization.to_bytes(payload))
