@@ -189,8 +189,10 @@ def _scaling_section() -> dict:
     TPU grant).  The committed assets/results/scaling_learned.csv
     carries the full 64^3 + 128^3 table from the same script; the
     driver re-measures the 64^3 slice within its budget."""
-    ckpt = (REPO / "assets" / "checkpoints_structured"
-            / "best.msgpack")
+    cdir = REPO / "assets" / "checkpoints_structured"
+    ckpt = cdir / "deg1_random.msgpack"  # random-rhs-trained flagship
+    if not ckpt.exists():
+        ckpt = cdir / "best.msgpack"
     if not ckpt.exists():
         return {}
     sys.path.insert(0, str(REPO / "scripts"))
@@ -248,10 +250,12 @@ def main() -> None:
 
     techniques = (
         ("vanilla", "jacobi", "incomplete_cholesky",
-         "incomplete_cholesky_neumann", "fsai", "learned")
+         "incomplete_cholesky_neumann", "algebraic_multigrid",
+         "fsai", "learned")
         if model_params is not None
         else ("vanilla", "jacobi", "incomplete_cholesky",
-              "incomplete_cholesky_neumann", "fsai")
+              "incomplete_cholesky_neumann", "algebraic_multigrid",
+              "fsai")
     )
     suite_kwargs = {}
     if params.model == "NeuralFSAI" and model_params is not None:

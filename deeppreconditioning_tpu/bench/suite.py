@@ -376,6 +376,41 @@ def _neumann_dense_setup_chunk(l_dense, n0s, sweeps, dtype=jnp.float32):
     return jax.vmap(one)(l_dense.astype(dtype), n0s)
 
 
+@functools.partial(jax.jit, static_argnames=("omega", "dtype"))
+def _amg_dense_compose(a_tilde, d_sqrt, n0s, p, mc, jitter,
+                       omega=0.67, dtype=jnp.float32):
+    """Dense batched V(1,1)-cycle operator for the batched protocol.
+
+    The benchmark-size hierarchy is one smoothed-aggregation level plus
+    a dense root (the depth ops/amg.build_amg reaches for n <= 1024
+    with coarse_target 512), and the cycle is a LINEAR operator, so it
+    composes densely on device:
+
+        M = W + (I - W A) (W + P Mc P^T (I - A W)),   W = omega D^-1
+
+    — exactly amg_apply's algebra (pre-smooth, coarse correction,
+    symmetric post-smooth; parity-tested in tests/test_bench_suite.py).
+    One vmapped stack of MXU matmuls replaces 100 per-case shape-
+    distinct V-cycle executables.
+    """
+    def one(at, d, n0, p_, mc_):
+        n = at.shape[0]
+        a = at * (d[:, None] * d[None, :])
+        live = jnp.arange(n) < n0
+        dg = d * d  # raw diagonal (scaled system has unit diagonal)
+        w = jnp.where(live, omega / dg, 0.0)
+        pm = p_ @ mc_ @ p_.T
+        aw = a * w[None, :]  # A W
+        x2 = jnp.diag(w) + pm - pm @ aw
+        m = jnp.diag(w) + x2 - w[:, None] * (a @ x2)
+        return jnp.where(live[:, None] & live[None, :], m, 0.0)
+
+    a_tilde = a_tilde * (1.0 + jitter)
+    return jax.vmap(one)(
+        a_tilde.astype(dtype), d_sqrt.astype(dtype), n0s, p, mc
+    )
+
+
 def _tri_apply(md, r):
     return ic_apply(md[0], md[1], r)
 
@@ -1140,6 +1175,7 @@ class BenchmarkSuite:
     _BATCHED_CHECK_EVERY = {
         "vanilla": 32, "jacobi": 32,
         "incomplete_cholesky_neumann": 8,
+        "algebraic_multigrid": 4,
         "fsai": 8, "learned": 4,
     }
 
@@ -1357,6 +1393,42 @@ class BenchmarkSuite:
                         else parts[0])
             apply_fn = _dense_apply_batched
             host_dominated = True  # one honest measurement
+
+        elif name == "algebraic_multigrid":
+            host_dominated = True  # aggregation + root inverse on host
+
+            def build(jitter):
+                from deeppreconditioning_tpu.ops.amg import (
+                    _aggregate,
+                    _prolongation,
+                )
+
+                datas = []
+                ncp_max = 8
+                for a_sp in common["a_sps"]:
+                    csr = a_sp.tocsr()
+                    agg, nc = _aggregate(csr, 0.08)
+                    p_ = _prolongation(csr, agg, nc, 0.67)
+                    a_c = (p_.T @ csr @ p_).toarray()
+                    inv = np.linalg.inv(a_c)
+                    datas.append((p_, 0.5 * (inv + inv.T)))
+                    ncp_max = max(ncp_max, nc)
+                b_cases = len(datas)
+                p_stack = np.zeros((b_cases, n_pad, ncp_max),
+                                   np.float32)
+                mc_stack = np.zeros((b_cases, ncp_max, ncp_max),
+                                    np.float32)
+                for i, (p_, inv) in enumerate(datas):
+                    nc = p_.shape[1]
+                    p_stack[i, :p_.shape[0], :nc] = p_.toarray()
+                    mc_stack[i, :nc, :nc] = inv
+                return _amg_dense_compose(
+                    common["a_tilde"], common["d_sqrt"],
+                    common["n0"],
+                    jnp.asarray(p_stack), jnp.asarray(mc_stack),
+                    jitter, dtype=self.dtype,
+                )
+            apply_fn = _dense_apply_batched
 
         elif name == "fsai":
             width, _, _ = self._fsai_meta(n_pad, self.fsai_power)

@@ -579,6 +579,7 @@ def _masked_gauss_jordan(sub: jax.Array, e: jax.Array) -> jax.Array:
     once.  Dispatched at trace time; CPU/tests keep the pure-XLA form.
     """
     if (sub.ndim == 3 and GJ_PALLAS_ENABLED
+            and sub.shape[-1] >= 8
             and jax.default_backend() == "tpu"):
         return _masked_gauss_jordan_pallas(sub, e)
     return _masked_gauss_jordan_xla(sub, e)

@@ -131,7 +131,7 @@ def dia_matvec_pallas(a: DIAMatrix, x: jax.Array,
     halo = a.halo
     if tile is None:
         tile = dia_auto_tile(
-            n_pad, ((halo + 127) // 128) * 128 if halo else 0
+            n_pad, ((halo + 511) // 512) * 512 if halo else 0
         )
     if n_pad % tile != 0:
         if n_pad < tile:
@@ -140,7 +140,13 @@ def dia_matvec_pallas(a: DIAMatrix, x: jax.Array,
             raise ValueError(f"n_pad {n_pad} not divisible by tile {tile}")
 
     grid = n_pad // tile
-    halo_pad = ((halo + 127) // 128) * 128 if halo else 0
+    # halo_pad rounds to 512 so the manual DMA span (tile + 2*halo_pad)
+    # stays 1024-aligned — Mosaic rejects unaligned slice SHAPES
+    # (surfaced by GMG's small coarse levels: 16^3 gave span 4608)
+    halo_pad = ((halo + 511) // 512) * 512 if halo else 0
+    rem = (tile + 2 * halo_pad) % 1024
+    if rem:  # sub-1024 tiles (interpret-mode tests, tiny grids)
+        halo_pad += (1024 - rem + 1) // 2
     x_ext = jnp.pad(x, (halo_pad, halo_pad))
     kernel = functools.partial(
         _dia_kernel, offsets=a.offsets, tile=tile, halo_pad=halo_pad

@@ -213,7 +213,11 @@ def structured_fsai_columns(
 
     if n_pad % chunk != 0:
         chunk = n_pad  # single chunk fallback (small grids)
-    use_lanes = (GJ_PALLAS_ENABLED
+    # w < 8: the lane-major Pallas kernel's (w, w+1, T) tiles fall
+    # below the sublane granule; a fused train-step program around the
+    # w=4 kernel produced NaN only under jit optimization (the
+    # de-optimized path was clean) — keep narrow widths on the XLA form
+    use_lanes = (GJ_PALLAS_ENABLED and w >= 8
                  and jax.default_backend() == "tpu")
 
     def body(lo):

@@ -29,7 +29,8 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
-                out=None, k_solves=None, seq_out=None, rhs="random"):
+                out=None, k_solves=None, seq_out=None, rhs="random",
+                gmg=True, with_amg=False, smoother_ckpt=None):
     """Run the scaling comparison; returns (rows, details).
 
     Importable by bench.py for the driver's scaling section — it must
@@ -63,6 +64,7 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
         fetch_sync,
         next_unique,
         time_chain,
+        time_dispatch_chain,
     )
 
     ckpt_path = Path(ckpt)
@@ -73,6 +75,17 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
     print(f"checkpoint: width={payload['width']} degree={degree} "
           f"power={power} trained@{payload.get('train_shape')}",
           flush=True)
+    smoother_params, smoother_power = None, 1
+    if gmg:
+        sc = Path(smoother_ckpt) if smoother_ckpt else (
+            ckpt_path.parent / "deg0_p1.msgpack"
+        )
+        if sc.exists():
+            sp_ = serialization.msgpack_restore(sc.read_bytes())
+            smoother_params = sp_["params"]
+            smoother_power = int(sp_["power"])
+            print(f"gmg smoother head: {sc.name} "
+                  f"power={smoother_power}", flush=True)
 
     def matvec(a_data, x):
         # Pallas streaming DIA kernel on TPU (every technique's CG
@@ -178,6 +191,65 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
             np.asarray(q_l),
             np.eye(1, int(np.asarray(q_l).shape[0]))[0],
         ))
+
+        # geometric multigrid (ops/gmg.py): Jacobi-smoothed classical
+        # baseline + learned-FSAI-smoothed variant (the width-local
+        # head smooths every level).  Builds mix device work with the
+        # small host root inverse, so timing is the dispatch-chain
+        # form.
+        def time_setup_host(build, r_pair=(1, 3)):
+            out0 = build(a, jnp.float32(0))
+            fetch_sync(out0)
+            secs = time_dispatch_chain(
+                lambda i, tie: build(
+                    a,
+                    jnp.float32(next_unique() * 1.2e-7) + 0.0 * tie,
+                ),
+                reps=r_pair,
+            )
+            return out0, secs
+
+        if gmg:
+            from deeppreconditioning_tpu.ops.gmg import (
+                build_gmg,
+                gmg_apply,
+            )
+
+            def gmg_ap(md, r):
+                return gmg_apply(md, r)
+
+            m_gj, setup_s = time_setup_host(
+                lambda a_, jit: build_gmg(jitter_a(a_, jit), shape)
+            )
+            techniques["gmg_jacobi"] = (gmg_ap, m_gj, setup_s)
+
+            m_gl, setup_s = time_setup_host(
+                lambda a_, jit: build_gmg(
+                    jitter_a(a_, jit), shape,
+                    params=smoother_params, plan_power=smoother_power,
+                    fsai_smoother=True,
+                )
+            )
+            techniques["gmg_learned"] = (gmg_ap, m_gl, setup_s)
+
+        if with_amg:
+            from deeppreconditioning_tpu.ops.amg import (
+                amg_apply,
+                build_amg,
+            )
+
+            def amg_ap(md, r):
+                return amg_apply(md, r)
+
+            # host-dominated (~30 s at 128^3): one honest rep
+            t0 = time.perf_counter()
+            csr = jitter_a(a, jnp.float32(
+                next_unique() * 1.2e-7)).to_scipy()
+            m_amg = build_amg(csr, n_pad=a.n_pad)
+            fetch_sync(m_amg.coarse_inv)
+            techniques["amg"] = (
+                amg_ap, m_amg, time.perf_counter() - t0
+            )
 
         # flat single-system solvers: a B=1 batch wrapper degrades
         # the shifted-slice applies' fusion 5x (see
@@ -364,6 +436,11 @@ def main() -> None:
     )
     parser.add_argument("--platform", default=None,
                         choices=["cpu", "tpu"])
+    parser.add_argument("--with-amg", action="store_true",
+                        help="include the aggregation-AMG technique "
+                        "(host setup ~30 s at 128^3)")
+    parser.add_argument("--no-gmg", action="store_true")
+    parser.add_argument("--smoother-ckpt", default=None)
     parser.add_argument("--rhs", default="random",
                         choices=["random", "ax"],
                         help="rhs protocol: 'random' (A-independent "
@@ -391,6 +468,8 @@ def main() -> None:
         args.ckpt, sigma=args.sigma, reps=args.reps, rtol=args.rtol,
         out=args.out, k_solves=ks or None,
         seq_out=args.seq_out if ks else None, rhs=args.rhs,
+        gmg=not args.no_gmg, with_amg=args.with_amg,
+        smoother_ckpt=args.smoother_ckpt,
     )
     print("JSON:" + json.dumps(details), flush=True)
 

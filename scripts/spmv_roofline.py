@@ -63,7 +63,7 @@ def main() -> None:
         # actual HBM traffic additionally re-reads x in the halo
         # overlap: the window per tile is tile + 2*halo_pad wide, so
         # x traffic is (1 + 2*halo/tile)x — count it honestly
-        halo_pad = ((a.halo + 127) // 128) * 128 if a.halo else 0
+        halo_pad = ((a.halo + 511) // 512) * 512 if a.halo else 0
         tile = dia_auto_tile(a.n_pad, halo_pad)
         x_factor = 1.0 + 2.0 * halo_pad / tile
         bytes_ideal = (a.vals.shape[0] + 2) * a.n_pad * 4

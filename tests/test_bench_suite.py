@@ -241,3 +241,58 @@ def test_suite_fsai_matches_scipy_reference(tmp_path):
     c_ref = fsai_factor_scipy(a_sp, pr, pc)
     m_ref = (c_ref @ c_ref.T).toarray()
     np.testing.assert_allclose(m, m_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_batched_amg_compose_matches_amg_apply(tmp_path):
+    """_amg_dense_compose's dense M reproduces ops/amg.amg_apply's
+    V(1,1)-cycle exactly (same one-level hierarchy, no coarse filter)."""
+    import jax
+    import jax.numpy as jnp
+    from deeppreconditioning_tpu.bench.suite import _amg_dense_compose
+    from deeppreconditioning_tpu.ops.amg import amg_apply, build_amg
+
+    specs = precond_net_specs((1, 1, 1))
+    ds = RandomSPDDataSet(
+        "train", dof=40, batch_size=1, specs=specs, sparsity=0.85,
+        length=3, seed=2, shuffle=False,
+    )
+    suite = BenchmarkSuite(
+        ds, None, None, techniques=("algebraic_multigrid",),
+        timing_reps=1, kappa_cases=0, results_directory=tmp_path,
+    )
+    common = suite._batched_common()
+    apply_fn, m, _ = suite._batched_setup(
+        "algebraic_multigrid", 1, 2, m_dtype=None
+    )
+    rng = np.random.default_rng(0)
+    for index in range(len(ds)):
+        a_sp = common["a_sps"][index]
+        n_pad = common["n_pad"]
+        pre = build_amg(a_sp, n_pad=n_pad, dtype=jnp.float64,
+                        filter_eps=0.0)
+        r = np.zeros(n_pad)
+        r[: a_sp.shape[0]] = rng.standard_normal(a_sp.shape[0])
+        z_ref = np.asarray(amg_apply(pre, jnp.asarray(r)))
+        z_got = np.asarray(m[index], np.float64) @ r
+        np.testing.assert_allclose(
+            z_got[: a_sp.shape[0]], z_ref[: a_sp.shape[0]],
+            rtol=2e-4, atol=1e-8,
+        )
+
+
+def test_batched_amg_converges(tmp_path):
+    specs = precond_net_specs((1, 1, 1))
+    ds = RandomSPDDataSet(
+        "train", dof=40, batch_size=1, specs=specs, sparsity=0.85,
+        length=3, seed=2, shuffle=False,
+    )
+    suite = BenchmarkSuite(
+        ds, None, None,
+        techniques=("jacobi", "algebraic_multigrid"),
+        timing_reps=1, kappa_cases=0, results_directory=tmp_path,
+    )
+    batched = suite.run_batched(reps=1, setup_reps=1, chunk=2,
+                                m_dtype=None)
+    st = batched["algebraic_multigrid"]
+    assert st["success"] == 100.0
+    assert st["iterations"] < batched["jacobi"]["iterations"]
