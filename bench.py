@@ -103,12 +103,12 @@ def _spmv_throughput() -> dict:
     """Banded SpMV Gnnz/s via the Pallas DIA kernel on 3-D 7-point
     Poisson (the BASELINE.md roofline family), single chip.
 
-    Kernel timing: K matvecs dependency-chained INSIDE one jit, outer
-    reps chained across dispatches, one final sync — per-dispatch
-    tunnel overhead (~0.5-1.3 ms) otherwise swamps small grids (a 512^2
-    SpMV moves 7.5 MB ~ 10 us of HBM time; VERDICT r2 weak #9)."""
-    import functools
-
+    Kernel timing: K matvecs dependency-chained INSIDE one jit, reps
+    scan-chained with bitwise-distinct inputs, two-point slope
+    (utils/profiling.time_chain) — the r4 form amortized the ~24 ms
+    value-fetch RTT over only 100 matvecs, so small grids read as
+    tunnel overhead (2-D 512^2 "3.6 Gnnz/s" was ~90% RTT; VERDICT r4
+    weak #4's "regression" was measurement, not the kernel)."""
     import jax
     import jax.numpy as jnp
 
@@ -118,30 +118,27 @@ def _spmv_throughput() -> dict:
     from deeppreconditioning_tpu.ops.pallas_stencil import (
         poisson3d_stencil_matvec,
     )
+    from deeppreconditioning_tpu.utils.profiling import (
+        next_unique,
+        time_chain,
+    )
 
     K = 10
 
-    @jax.jit
     def chain_dia(a, x):
         for _ in range(K):
             x = dia_matvec(a, x)
         return x
 
     def timed(fn, *args, x0=None):
-        from deeppreconditioning_tpu.utils.profiling import fetch_sync
-
-        # y = f(y) dependency chain (laziness-proof) + VALUE-fetch
-        # barrier (block_until_ready does not reliably wait through
-        # the tunnel — MEASUREMENT.md); fetch RTT (~24 ms) amortizes
-        # over outer*K = 100 kernel invocations
-        x = fn(*args, x0)
-        fetch_sync(x)
-        outer = 10
-        start = time.perf_counter()
-        for _ in range(outer):
-            x = fn(*args, x)
-        fetch_sync(x)
-        return (time.perf_counter() - start) / (outer * K)
+        return time_chain(
+            fn if args else (lambda _op, v: fn(v)),
+            args[0] if args else jnp.zeros(()),
+            lambda i: x0 * (
+                1.0 + next_unique() * jnp.float32(1.2e-7)
+            ),
+            reps=(4, 16),
+        ) / K
 
     out = {}
     for label, shape in (("spmv_2d_512", (512, 512)),
@@ -166,14 +163,13 @@ def _spmv_throughput() -> dict:
             # lane-hostile, while XLA fuses pad+shifts on contiguous
             # power-of-two grids into one streaming kernel (measured
             # 99 vs 65 Gnnz/s at 256^3, dependency-chained)
-            @functools.partial(jax.jit, static_argnames=("shp",))
-            def chain_stencil(shp, xs):
+            def chain_stencil(xs, shp=shape):
                 for _ in range(K):
                     xs = poisson3d_stencil_matvec(xs, shp)
                 return xs
 
             xs = x[: shape[0] * shape[1] * shape[2]]
-            dt = timed(chain_stencil, shape, x0=xs)
+            dt = timed(chain_stencil, x0=xs)
             out[label + "_stencil"] = {
                 "gnnz_per_s": round(nnz / dt / 1e9, 3),
                 "us": round(dt * 1e6, 1),

@@ -30,6 +30,7 @@ random-rhs family's 248 Jacobi iterations into ~10.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -82,15 +83,52 @@ def _grid_view(x: jax.Array, shape) -> jax.Array:
     return x[:n].reshape(shape)
 
 
+def _pair_np(z: int) -> np.ndarray:
+    """(z, z/2) 0/1 aggregation matrix: column j sums entries 2j,
+    2j+1."""
+    m = np.zeros((z, z // 2), np.float32)
+    m[np.arange(z), np.arange(z) // 2] = 1.0
+    return m
+
+
+def _restrict_grid(g: jax.Array, shape) -> jax.Array:
+    """Aggregate-sum a fine GRID to the coarse grid, lane-friendly.
+
+    The naive all-axes reshape-sum splits the minor (lane) dimension
+    2-way, which XLA lowers as cross-lane shuffles — measured ~1.5 ms
+    per transfer at 128^3, ~15x the HBM-traffic estimate, and the
+    whole V-cycle's cost (depth-1 cycle 3.25 ms -> 0.23 ms after this
+    rewrite).  Leading (major/sublane) axes pair-sum via reshape at
+    full speed; the minor axis contracts on the MXU against a 0/1
+    pairing matrix.  Precision.HIGHEST keeps the matmul an exact f32
+    sum — DEFAULT would round the operand to bf16 (3e-2 parity error
+    vs the reshape oracle).
+    """
+    shape = tuple(int(s) for s in shape)
+    nd = len(shape)
+    if nd > 1:
+        new = []
+        for s in shape[:-1]:
+            new += [s // 2, 2]
+        new.append(shape[-1])
+        g = g.reshape(new).sum(
+            axis=tuple(range(1, 2 * (nd - 1), 2))
+        )
+    rz = jnp.asarray(_pair_np(shape[-1]), g.dtype)
+    return jnp.matmul(g, rz, precision=jax.lax.Precision.HIGHEST)
+
+
 def galerkin_coarse_dia(a: DIAMatrix, shape) -> DIAMatrix:
     """P^T A P for piecewise-constant 2x-per-axis aggregates, DIA in,
-    DIA out — pure reshape-sums, no gather.
+    DIA out — reshape-sums on major axes + MXU pair-contraction on the
+    lane axis (see _restrict_grid), no gather.
 
     For an axis-aligned band value v[i] coupling cell i -> i + e_ax:
     the pair lives inside one aggregate iff i's coordinate along ax is
     even; those values sum (twice, for both triangle halves) into the
     coarse diagonal, the odd-coordinate values sum into the coarse
-    band along ax.  The diagonal restricts by plain aggregate sum.
+    band along ax — expressed here as parity-masked restrictions of
+    the band grid.  The diagonal restricts by plain aggregate sum.
     Requires every grid dimension even (callers stop coarsening when
     one is not).
     """
@@ -104,36 +142,21 @@ def galerkin_coarse_dia(a: DIAMatrix, shape) -> DIAMatrix:
     offs_c = _axis_offsets(cshape)
     pos = {offs[ax]: ax for ax in range(nd)}
 
-    def split(g):  # (2a, 2b, 2c) -> (a, 2, b, 2, c, 2)
-        new = []
-        for s in shape:
-            new += [s // 2, 2]
-        return g.reshape(new)
-
     diag_c = jnp.zeros(cshape, a.vals.dtype)
     bands_c = {}
     for d, off in enumerate(a.offsets):
         g = _grid_view(a.vals[d], shape)
         if off == 0:
-            diag_c = diag_c + split(g).sum(
-                axis=tuple(range(1, 2 * nd, 2))
-            )
+            diag_c = diag_c + _restrict_grid(g, shape)
         elif off in pos:
             ax = pos[off]
-            sg = split(g)
-            sub = 2 * ax + 1  # the length-2 sub-axis of `ax`
-            idx_even = [slice(None)] * (2 * nd)
-            idx_even[sub] = 0  # even coordinate along ax
-            idx_odd = [slice(None)] * (2 * nd)
-            idx_odd[sub] = 1
-            # integer-indexing drops axis `sub` — shift the remaining
-            # sub-axis ids accordingly before reducing
-            other = tuple(
-                i - 1 if i > sub else i
-                for i in range(1, 2 * nd, 2) if i != sub
+            # parity mask along ax: 0 at even fine coordinates
+            par = (jnp.arange(shape[ax]) % 2).astype(g.dtype)
+            par = par.reshape(
+                [shape[ax] if i == ax else 1 for i in range(nd)]
             )
-            intra = sg[tuple(idx_even)].sum(axis=other)
-            inter = sg[tuple(idx_odd)].sum(axis=other)
+            intra = _restrict_grid(g * (1.0 - par), shape)
+            inter = _restrict_grid(g * par, shape)
             # intra-aggregate edges: both (i,j) and (j,i) fold into
             # the coarse diagonal
             diag_c = diag_c + 2.0 * intra
@@ -171,30 +194,40 @@ def galerkin_coarse_dia(a: DIAMatrix, shape) -> DIAMatrix:
 
 
 def restrict_pc(r: jax.Array, shape) -> jax.Array:
-    """P^T r: aggregate sums via reshape (fine (n_pad,) -> coarse
-    (n_pad_c,))."""
+    """P^T r: aggregate sums, lane-friendly (fine (n_pad,) -> coarse
+    (n_pad_c,)); see _restrict_grid for the layout rationale."""
     shape = tuple(int(s) for s in shape)
-    nd = len(shape)
     cshape = tuple(s // 2 for s in shape)
     nc = int(np.prod(cshape))
-    g = _grid_view(r, shape)
-    new = []
-    for s in shape:
-        new += [s // 2, 2]
-    rc = g.reshape(new).sum(axis=tuple(range(1, 2 * nd, 2)))
+    rc = _restrict_grid(_grid_view(r, shape), shape)
     return jnp.pad(rc.reshape(-1), (0, _pad_to(nc) - nc))
 
 
 def prolong_pc(xc: jax.Array, shape) -> jax.Array:
-    """P xc: broadcast each aggregate value to its 2^nd fine cells."""
+    """P xc: broadcast each aggregate value to its 2^nd fine cells.
+
+    Transpose of restrict_pc in the same lane-friendly form: the minor
+    axis expands on the MXU against the pairing matrix's transpose
+    (jnp.repeat on the lane axis lowers as a cross-lane interleave —
+    the dominant cost of the old cycle), the leading axes by
+    broadcast + reshape (major-axis interleaves are block copies).
+    """
     shape = tuple(int(s) for s in shape)
     nd = len(shape)
     cshape = tuple(s // 2 for s in shape)
     n = int(np.prod(shape))
     g = _grid_view(xc, cshape)
-    for ax in range(nd):
-        g = jnp.repeat(g, 2, axis=ax)
-    return jnp.pad(g.reshape(-1), (0, _pad_to(n) - n))
+    rz = jnp.asarray(_pair_np(shape[-1]), g.dtype)
+    g = jnp.matmul(g, rz.T, precision=jax.lax.Precision.HIGHEST)
+    if nd > 1:
+        tgt = []
+        for s in shape[:-1]:
+            tgt += [s // 2, 2]
+        tgt.append(shape[-1])
+        for i in range(nd - 1):
+            g = jnp.expand_dims(g, 2 * i + 1)
+        g = jnp.broadcast_to(g, tgt)
+    return jnp.pad(g.reshape(n), (0, _pad_to(n) - n))
 
 
 def build_gmg(
@@ -206,31 +239,82 @@ def build_gmg(
     fsai_smoother: bool = False,
     min_side: int = 8,
     omega_fsai: float = 1.0,
+    fsai_levels: int = 1 << 30,
 ) -> GMGPreconditioner:
     """Device-side GMG setup from the fine DIA operator.
 
     ``fsai_smoother`` replaces damped Jacobi with the structured-FSAI
-    factor S = C C^T per level (classical if ``params`` is None, the
-    trained NeuralFSAI head otherwise — width-local, so one checkpoint
-    smooths every level).  Coarsening stops when a side would drop
-    below ``min_side`` or go odd; the root is densely inverted.
+    factor S = C C^T (classical if ``params`` is None, the trained
+    NeuralFSAI head otherwise — width-local, so one checkpoint smooths
+    every level) on the first ``fsai_levels`` levels; deeper levels
+    keep damped Jacobi.  ``fsai_levels=1`` smooths only the finest
+    level — most of the FSAI smoother's iteration win at a fraction of
+    its setup and cycle cost (the coarse-level error components it
+    would polish are exactly the ones the recursion handles).
+    Coarsening stops when a side would drop below ``min_side`` or go
+    odd; the root is densely inverted ON DEVICE (f32, symmetrized) so
+    the whole build is ONE compiled dispatch — the eager form cost
+    ~150 ms at 64^3 in per-op dispatch overhead alone.
     """
+    shape = tuple(int(s) for s in shape)
+    lvl_shapes = []
+    s = shape
+    while all(d % 2 == 0 and d >= 2 * min_side for d in s):
+        lvl_shapes.append(s)
+        s = tuple(d // 2 for d in s)
+    return _build_gmg_jit(
+        a, params, tuple(lvl_shapes), s, plan_power, omega,
+        fsai_smoother, omega_fsai, fsai_levels,
+    )
+
+
+def _dia_to_dense_static(a: DIAMatrix) -> jax.Array:
+    """(n, n) dense from DIA via static jnp.diag placements (jittable —
+    ``DIAMatrix.to_dense``'s boolean masking is not)."""
+    nc = a.n
+    out = jnp.zeros((nc, nc), a.vals.dtype)
+    for d_i, off in enumerate(a.offsets):
+        if off >= 0:
+            band = a.vals[d_i, : nc - off]
+        else:
+            band = a.vals[d_i, -off:nc]
+        out = out + jnp.diag(band, k=off)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "lvl_shapes", "root_shape", "plan_power", "omega",
+        "fsai_smoother", "omega_fsai", "fsai_levels",
+    ),
+)
+def _build_gmg_jit(
+    a: DIAMatrix,
+    params,
+    lvl_shapes,
+    root_shape,
+    plan_power: int,
+    omega: float,
+    fsai_smoother: bool,
+    omega_fsai: float,
+    fsai_levels: int,
+) -> GMGPreconditioner:
     from deeppreconditioning_tpu.ops.structured_fsai import (
         bands_to_dia,
         build_structured_plan,
         structured_setup,
     )
 
-    shape = tuple(int(s) for s in shape)
     levels = []
-    lvl_a, lvl_shape = a, shape
-    while all(s % 2 == 0 and s >= 2 * min_side for s in lvl_shape):
+    lvl_a = a
+    for lvl_idx, lvl_shape in enumerate(lvl_shapes):
         diag_idx = lvl_a.offsets.index(0)
         d = lvl_a.vals[diag_idx]
         inv_d = jnp.where(d == 0, 0.0,
                           1.0 / jnp.where(d == 0, 1.0, d))
         c_up = c_low = None
-        if fsai_smoother:
+        if fsai_smoother and lvl_idx < fsai_levels:
             plan = build_structured_plan(lvl_shape, power=plan_power)
             bands, _ = structured_setup(lvl_a, plan, params)
             if omega_fsai != 1.0:
@@ -243,28 +327,32 @@ def build_gmg(
             shape=lvl_shape, omega=omega,
         ))
         lvl_a = galerkin_coarse_dia(lvl_a, lvl_shape)
-        lvl_shape = tuple(s // 2 for s in lvl_shape)
 
-    # dense root inverse (host, f64, symmetrized)
-    nc = lvl_a.n
-    dense = np.zeros((nc, nc))
-    vals = np.asarray(lvl_a.vals, np.float64)
-    for d_i, off in enumerate(lvl_a.offsets):
-        i0, i1 = max(0, -off), min(nc, nc - off)
-        idx = np.arange(i0, i1)
-        dense[idx, idx + off] = vals[d_i, i0:i1]
-    inv = np.linalg.inv(dense)
+    inv = jnp.linalg.inv(_dia_to_dense_static(lvl_a))
     return GMGPreconditioner(
         levels=tuple(levels),
-        coarse_inv=jnp.asarray(0.5 * (inv + inv.T), a.vals.dtype),
-        coarse_shape=lvl_shape,
+        coarse_inv=0.5 * (inv + inv.T),
+        coarse_shape=root_shape,
     )
+
+
+# at or below this row count the XLA shifted-slice matvec is as fast
+# as or faster than the Pallas streaming kernel (measured ~0-20 us vs
+# 183 us on the 262k-row Galerkin coarse operator at 128^3) — coarse
+# MG levels run pure XLA; only the finest level streams through Pallas
+_PALLAS_MIN_ROWS = 1 << 19
+
+
+def _mv(a: DIAMatrix, x: jax.Array) -> jax.Array:
+    if a.n_pad >= _PALLAS_MIN_ROWS:
+        return dia_matvec(a, x)
+    return a.matvec(x)
 
 
 def _smooth(lev: GMGLevel, r: jax.Array) -> jax.Array:
     if lev.c_up is None:
         return lev.omega * lev.inv_diag * r
-    return dia_matvec(lev.c_low, dia_matvec(lev.c_up, r))
+    return _mv(lev.c_low, _mv(lev.c_up, r))
 
 
 def gmg_apply(m: GMGPreconditioner, r: jax.Array) -> jax.Array:
@@ -281,9 +369,9 @@ def gmg_apply(m: GMGPreconditioner, r: jax.Array) -> jax.Array:
             return jnp.pad(z, (0, r.shape[0] - nc))
         lev = m.levels[lvl]
         x = _smooth(lev, r)
-        res = r - dia_matvec(lev.a, x)
+        res = r - _mv(lev.a, x)
         xc = cycle(lvl + 1, restrict_pc(res, lev.shape))
         x = x + prolong_pc(xc, lev.shape)
-        return x + _smooth(lev, r - dia_matvec(lev.a, x))
+        return x + _smooth(lev, r - _mv(lev.a, x))
 
     return cycle(0, r)

@@ -92,6 +92,26 @@ class StructuredFSAIPlan:
     def width(self) -> int:
         return len(self.offsets)
 
+    # content-based identity: plans are jit static args
+    # (structured_fsai_columns etc.) — the default identity hash made
+    # every freshly built plan a new cache key, recompiling the column
+    # solver on each setup (observed as a 4.7 s GMG build whose reps
+    # were all compiles)
+    def _key(self):
+        return (
+            self.shape, self.offsets, self.a_offsets,
+            tuple(c.tobytes() for c in self.disp_classes),
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, StructuredFSAIPlan)
+            and self._key() == other._key()
+        )
+
+    def __hash__(self):
+        return hash((self.shape, self.offsets, self.a_offsets))
+
 
 def _strides(shape: Sequence[int]) -> np.ndarray:
     nd = len(shape)
@@ -118,8 +138,18 @@ def build_structured_plan(
 ) -> StructuredFSAIPlan:
     """Pattern = tril of the stencil-graph ``power`` (all displacement
     sums of <= power stencil steps with nonnegative linear offset) —
-    the structured twin of ops/fsai.tril_power_pattern."""
-    shape = tuple(int(s) for s in shape)
+    the structured twin of ops/fsai.tril_power_pattern.  Cached per
+    (shape, power): callers build plans freely (e.g. per GMG level per
+    setup) without re-running the host set expansion."""
+    return _build_structured_plan_cached(
+        tuple(int(s) for s in shape), int(power)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_structured_plan_cached(
+    shape: Tuple[int, ...], power: int
+) -> StructuredFSAIPlan:
     ndim = len(shape)
     steps = stencil_displacements(ndim)
     reach = {tuple(np.zeros(ndim, np.int64))}
@@ -184,6 +214,40 @@ def slot_valid(plan: StructuredFSAIPlan, n_pad: int) -> jax.Array:
     return jnp.stack(masks, axis=1).astype(jnp.float32)
 
 
+def _gauss_jordan_lane_major(aug: jax.Array) -> jax.Array:
+    """Solve the (w, w+1, T) augmented stack IN lane-major layout.
+
+    Unrolled Gauss-Jordan over the static width with every operation a
+    (T,)-wide vector op — T stays on the 128-lane axis throughout.
+    The generic ``_masked_gauss_jordan_xla`` needs a (T, w, w) batch
+    transpose whose minor dims are w: at w=4 that uses 4 of 128 lanes
+    per op and cost 6.7 ms of the 128^3 width-4 setup; this form runs
+    the same math in ~1 ms.  No pivoting: the local systems are SPD
+    normal equations with identity rows substituted at dead slots, so
+    every pivot is positive.
+
+    Returns the solution column (w, T).
+    """
+    w = aug.shape[0]
+    rows = [[aug[p, q] for q in range(w + 1)] for p in range(w)]
+    for k in range(w):
+        pk = rows[k][k]
+        inv = 1.0 / jnp.where(jnp.abs(pk) < 1e-30, 1.0, pk)
+        # columns <= k are identity from here on — only carry the rest
+        rows[k] = [None] * (k + 1) + [
+            rows[k][q] * inv for q in range(k + 1, w + 1)
+        ]
+        for p in range(w):
+            if p == k:
+                continue
+            f = rows[p][k]
+            rows[p] = [None] * (k + 1) + [
+                rows[p][q] - f * rows[k][q]
+                for q in range(k + 1, w + 1)
+            ]
+    return jnp.stack([rows[p][w] for p in range(w)])
+
+
 @functools.partial(jax.jit, static_argnames=("plan", "chunk"))
 def structured_fsai_columns(
     a_scaled: DIAMatrix,
@@ -200,7 +264,6 @@ def structured_fsai_columns(
     """
     from deeppreconditioning_tpu.ops.fsai import (
         GJ_PALLAS_ENABLED,
-        _masked_gauss_jordan_xla,
         gauss_jordan_lanes,
     )
 
@@ -253,10 +316,7 @@ def structured_fsai_columns(
         if use_lanes:
             y = gauss_jordan_lanes(aug)  # (w, T)
         else:
-            y = _masked_gauss_jordan_xla(
-                jnp.transpose(sub, (2, 0, 1)),
-                jnp.broadcast_to(e[:, 0, 0], (chunk, w)),
-            ).T
+            y = _gauss_jordan_lane_major(aug)
         c = y * jax.lax.rsqrt(jnp.maximum(y[0], 1e-30))[None, :]
         return c * vt  # (w, T)
 

@@ -193,20 +193,30 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
         ))
 
         # geometric multigrid (ops/gmg.py): Jacobi-smoothed classical
-        # baseline + learned-FSAI-smoothed variant (the width-local
-        # head smooths every level).  Builds mix device work with the
-        # small host root inverse, so timing is the dispatch-chain
-        # form.
-        def time_setup_host(build, r_pair=(1, 3)):
+        # baseline + learned-FSAI-smoothed variant.  The build is one
+        # jitted dispatch (device root inverse), so it scan-times like
+        # every other setup; the dispatch-chain form is only the
+        # fallback for configs whose scanned program trips the TPU
+        # compiler's fusion-pass SIGILL (seen on the standalone w=4
+        # refine scan), and its per-dispatch overhead variance
+        # (~0.5-1.3 ms) once read a 0.75 ms build as 13 ms.
+        def time_setup_host(build, r_pair=(2, 8)):
             out0 = build(a, jnp.float32(0))
             fetch_sync(out0)
-            secs = time_dispatch_chain(
-                lambda i, tie: build(
-                    a,
-                    jnp.float32(next_unique() * 1.2e-7) + 0.0 * tie,
-                ),
-                reps=r_pair,
-            )
+            try:
+                secs = time_chain(
+                    build, a,
+                    lambda i: jnp.float32(next_unique() * 1.2e-7),
+                    reps=(max(r_pair[1] // 3, 2), r_pair[1]),
+                )
+            except Exception:
+                secs = time_dispatch_chain(
+                    lambda i, tie: build(
+                        a,
+                        jnp.float32(next_unique() * 1.2e-7) + 0.0 * tie,
+                    ),
+                    reps=r_pair,
+                )
             return out0, secs
 
         if gmg:
@@ -223,11 +233,15 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
             )
             techniques["gmg_jacobi"] = (gmg_ap, m_gj, setup_s)
 
+            # learned head smooths the FINEST level only: coarse-level
+            # error modes are the recursion's job, and fine-only keeps
+            # both the setup and the cycle near gmg_jacobi's cost while
+            # keeping most of the iteration win
             m_gl, setup_s = time_setup_host(
                 lambda a_, jit: build_gmg(
                     jitter_a(a_, jit), shape,
                     params=smoother_params, plan_power=smoother_power,
-                    fsai_smoother=True,
+                    fsai_smoother=True, fsai_levels=1,
                 )
             )
             techniques["gmg_learned"] = (gmg_ap, m_gl, setup_s)
@@ -323,7 +337,10 @@ def run_scaling(shapes, ckpt, sigma=1.0, reps=4, rtol=1e-8,
             # scan dispatch — the workload shape of the reference's
             # PIMPLE corrector loop (pEqn.H:43-49).  Reuses this
             # technique's setup; reports total_s(k) = setup + solves.
-            for k in (k_solves or ()):
+            # amg sits out the sequence protocol: its gather-heavy
+            # apply already loses single-solve ~10x, and the k=8
+            # scan-of-sequences program crashed the remote TPU worker
+            for k in (() if name == "amg" else (k_solves or ())):
                 if x_star is not None:
                     b_seq = jnp.asarray(poisson_rhs_sequence(
                         a, k, np.random.default_rng(7 + k)

@@ -9,9 +9,8 @@ Usage: python scripts/spmv_roofline.py
 """
 
 import csv
-import functools
+
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -30,7 +29,10 @@ def main() -> None:
         poisson3d_stencil_matvec,
     )
     from deeppreconditioning_tpu.sparse.dia import poisson_dia
-    from deeppreconditioning_tpu.utils.profiling import time_kernel
+    from deeppreconditioning_tpu.utils.profiling import (
+        next_unique,
+        time_chain,
+    )
 
     hbm_gb_s = 820.0  # v5e
     rows_out = []
@@ -50,14 +52,20 @@ def main() -> None:
         # from the remote compile helper)
         k_inner = 10
 
-        @jax.jit
         def chain_dia(a_arg, v):
             for _ in range(k_inner):
                 v = dia_matvec_pallas(a_arg, v)
             return v
 
-        secs_dia = time_kernel(
-            lambda v: chain_dia(a, v), x, iters=10
+        # two-point slope metrology (time_chain): the old
+        # time_kernel form folded the ~24 ms value-fetch RTT into
+        # 100 matvecs — +240 us/matvec, which at 64^3-128^3 WAS the
+        # reading (464 us reported vs ~25 us real; the r4 "0.24 BW
+        # fraction at 128^3" was tunnel overhead, not the kernel)
+        secs_dia = time_chain(
+            chain_dia, a,
+            lambda i: x * (1.0 + next_unique() * jnp.float32(1.2e-7)),
+            reps=(4, 16),
         ) / k_inner
         # ideal model: vals + x + y once = (n_diag + 2) words/row.
         # actual HBM traffic additionally re-reads x in the halo
@@ -74,14 +82,15 @@ def main() -> None:
         # layout on v5e ((n+2)-strided slabs are lane-hostile)
         xs = x[:n]
 
-        @functools.partial(jax.jit, static_argnames=("shp",))
-        def chain_st(v, shp):
+        def chain_st(_op, v, shp=shape):
             for _ in range(k_inner):
                 v = poisson3d_stencil_matvec(v, shp)
             return v
 
-        secs_st = time_kernel(
-            lambda v: chain_st(v, shape), xs, iters=10
+        secs_st = time_chain(
+            chain_st, jnp.zeros(()),
+            lambda i: xs * (1.0 + next_unique() * jnp.float32(1.2e-7)),
+            reps=(4, 16),
         ) / k_inner
         bytes_st = 2 * n * 4
         rows_out.append({
@@ -135,27 +144,22 @@ def main() -> None:
     from deeppreconditioning_tpu.sparse.bsr import BSRMatrix
 
     def time_bsr(a, x, k=10):
-        """K kernel calls dependency-chained inside one jit (dispatch
-        overhead otherwise dominates sub-ms kernels on the tunnel);
-        operator passed as argument (closure constants bloat the
-        remote-compile request past its body limit)."""
+        """K kernel calls dependency-chained inside one jit, reps
+        scan-chained with bitwise-distinct inputs, two-point slope
+        (time_chain) — same RTT-removal rationale as the DIA sweep
+        above; operator rides as an argument (closure constants bloat
+        the remote-compile request past its body limit)."""
 
-        @jax.jit
         def chain_a(a_arg, xv):
             for _ in range(k):
                 xv = bsr_matvec_pallas(a_arg, xv)[: x.shape[0]]
             return xv
 
-        def chain(xv):
-            return chain_a(a, xv)
-        xv = chain(x)
-        jax.block_until_ready(xv)
-        outer = 5
-        start = time.perf_counter()
-        for _ in range(outer):
-            xv = chain(xv)
-        jax.block_until_ready(xv)
-        return (time.perf_counter() - start) / (outer * k)
+        return time_chain(
+            chain_a, a,
+            lambda i: x * (1.0 + next_unique() * jnp.float32(1.2e-7)),
+            reps=(3, 9),
+        ) / k
 
     def bsr_row(label, a_sp):
         a = BSRMatrix.from_scipy(a_sp, block_size=128)
