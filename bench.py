@@ -179,12 +179,14 @@ def _spmv_throughput() -> dict:
 
 
 def _scaling_section() -> dict:
-    """On-chip scaling comparison at 64^3 (structured-grid learned
-    FSAI vs jacobi/fsai — scripts/scaling_learned.py machinery,
-    in-process because a subprocess would block on the single-client
-    TPU grant).  The committed assets/results/scaling_learned.csv
-    carries the full 64^3 + 128^3 table from the same script; the
-    driver re-measures the 64^3 slice within its budget."""
+    """On-chip scaling comparison at 64^3 AND 128^3 (structured-grid
+    learned FSAI + geometric multigrid vs jacobi/fsai/vanilla —
+    scripts/scaling_learned.py machinery, in-process because a
+    subprocess would block on the single-client TPU grant).  The
+    128^3 slice is the BASELINE.md wall-clock headline: the
+    learned-smoothed GMG technique's total vs Jacobi's on the real
+    chip.  The committed assets/results/scaling_learned.csv carries
+    the same table plus AMG and the multi-RHS protocol."""
     cdir = REPO / "assets" / "checkpoints_structured"
     ckpt = cdir / "deg1_random.msgpack"  # random-rhs-trained flagship
     if not ckpt.exists():
@@ -195,9 +197,9 @@ def _scaling_section() -> dict:
     from scaling_learned import run_scaling
 
     _, details = run_scaling(
-        [64], ckpt, sigma=1.0, reps=8,
+        [64, 128], ckpt, sigma=1.0, reps=8,
         out=REPO / "assets" / "results" / "driver"
-        / "scaling_learned_64.csv",
+        / "scaling_learned.csv",
     )
     return {"scaling": details}
 
@@ -386,6 +388,13 @@ def main() -> None:
     # optional sections least-important-first instead of crashing after
     # the full chip-holding benchmark run (ADVICE r4 #1)
     line = _line()
+    if len(line) >= 1500 and "scaling" in compact:
+        # keep the 128^3 headline rows, shed the 64^3 slice first
+        compact["scaling"] = {
+            k: v for k, v in compact["scaling"].items()
+            if k.startswith("128")
+        }
+        line = _line()
     for optional in ("irregular", "spmv_gnnz", "scaling", "percase"):
         if len(line) < 1500:
             break
