@@ -322,6 +322,29 @@ def _build_gmg_jit(
                     jnp.asarray(omega_fsai, bands.dtype)
                 )
             c_up, c_low = bands_to_dia(bands, plan.offsets, lvl_a.n)
+            # smoother spectral safeguard: the smoothing iteration's
+            # error operator is I - S A, stable iff lam_max(S A) < 2.
+            # A head trained at lower coefficient contrast can
+            # overshoot out-of-distribution (sigma=2 at 128^3 ran the
+            # V-cycle to 1024 PCG iterations without converging);
+            # power-iterate lam_max(S A) and scale S down to
+            # 2 - margin when it exceeds that — a no-op in
+            # distribution, a cure OOD.  Same contract philosophy as
+            # structured_fsai.poly_safeguard.
+            v = jnp.cos(
+                jnp.arange(lvl_a.n_pad, dtype=lvl_a.vals.dtype) * 0.7
+            ) * (jnp.arange(lvl_a.n_pad) < lvl_a.n)
+            lam = jnp.asarray(0.0, lvl_a.vals.dtype)
+            for _ in range(8):
+                w_ = _mv(c_low, _mv(c_up, _mv(lvl_a, v)))
+                lam = jnp.sqrt(w_ @ w_) / jnp.maximum(
+                    jnp.sqrt(v @ v), 1e-30)
+                v = w_ / jnp.maximum(jnp.sqrt(w_ @ w_), 1e-30)
+            scale = jnp.minimum(1.0, 1.9 / jnp.maximum(lam, 1e-30))
+            c_up = c_up.replace(
+                vals=c_up.vals * jnp.sqrt(scale))
+            c_low = c_low.replace(
+                vals=c_low.vals * jnp.sqrt(scale))
         levels.append(GMGLevel(
             a=lvl_a, inv_diag=inv_d, c_up=c_up, c_low=c_low,
             shape=lvl_shape, omega=omega,

@@ -116,3 +116,37 @@ def test_gmg_fsai_smoother():
     assert int(rf.iterations) <= int(rj.iterations), (
         int(rf.iterations), int(rj.iterations)
     )
+
+
+def test_gmg_smoother_spectral_safeguard():
+    """An over-scaled FSAI smoother (lam_max(S A) >> 2, guaranteed
+    V-cycle divergence) must be rescaled to stability at build time.
+
+    omega_fsai=400 multiplies the classical smoother bands 20x, pushing
+    lam_max(S A) to ~400 x its safe value; the build-time power
+    iteration (ops/gmg._build_gmg_jit) scales it back under 2, so PCG
+    still converges in a near-normal iteration count.  This is the
+    mechanism that cured the real sigma=2 128^3 divergence on-chip
+    (1024 iterations, no convergence, before the safeguard).
+    """
+    shape = (16, 16, 16)
+    a = dia_sorted_by_offset(poisson_coeff_dia(
+        shape, rng=np.random.default_rng(7), sigma=2.0,
+        dtype=jnp.float64,
+    ))
+    m = build_gmg(a, shape, min_side=4, fsai_smoother=True,
+                  omega_fsai=400.0)
+    rng = np.random.default_rng(8)
+    b = np.zeros(a.n_pad)
+    b[:a.n] = rng.standard_normal(a.n)
+    res = preconditioned_conjugate_gradient(
+        lambda ad, x: ad.matvec(x), a, jnp.asarray(b),
+        apply_m=lambda md, r: gmg_apply(md, r), m_data=m,
+        rtol=1e-8,
+    )
+    # the guarantee is STABILITY, not speed: a 20x over-scaled
+    # smoother clamps to lam_max ~1.9 and becomes weak-but-convergent
+    # (an unclamped one runs the 1024-iteration cap with the residual
+    # still above tolerance)
+    assert float(res.residual) < 1e-8
+    assert int(res.iterations) < 1024, int(res.iterations)
