@@ -103,12 +103,13 @@ def _spmv_throughput() -> dict:
     """Banded SpMV Gnnz/s via the Pallas DIA kernel on 3-D 7-point
     Poisson (the BASELINE.md roofline family), single chip.
 
-    Kernel timing: K matvecs dependency-chained INSIDE one jit, reps
-    scan-chained with bitwise-distinct inputs, two-point slope
-    (utils/profiling.time_chain) — the r4 form amortized the ~24 ms
-    value-fetch RTT over only 100 matvecs, so small grids read as
-    tunnel overhead (2-D 512^2 "3.6 Gnnz/s" was ~90% RTT; VERDICT r4
-    weak #4's "regression" was measurement, not the kernel)."""
+    Kernel timing: cold-streamed (operator pool > VMEM, two-point
+    time_chain slope — utils/profiling.time_cold_stream).  The r4
+    time_kernel form amortized the ~24 ms value-fetch RTT over only
+    100 matvecs, so small grids read as tunnel overhead (2-D 512^2
+    "3.6 Gnnz/s" was ~90% RTT), while a naive scan-chain of ONE
+    operator reads the VMEM-resident rate (2.1x "HBM bandwidth" at
+    128^3) — cold streaming is the claim these numbers make."""
     import jax
     import jax.numpy as jnp
 
@@ -119,26 +120,8 @@ def _spmv_throughput() -> dict:
         poisson3d_stencil_matvec,
     )
     from deeppreconditioning_tpu.utils.profiling import (
-        next_unique,
-        time_chain,
+        time_cold_stream,
     )
-
-    K = 10
-
-    def chain_dia(a, x):
-        for _ in range(K):
-            x = dia_matvec(a, x)
-        return x
-
-    def timed(fn, *args, x0=None):
-        return time_chain(
-            fn if args else (lambda _op, v: fn(v)),
-            args[0] if args else jnp.zeros(()),
-            lambda i: x0 * (
-                1.0 + next_unique() * jnp.float32(1.2e-7)
-            ),
-            reps=(4, 16),
-        ) / K
 
     out = {}
     for label, shape in (("spmv_2d_512", (512, 512)),
@@ -150,7 +133,12 @@ def _spmv_throughput() -> dict:
             np.random.default_rng(0).standard_normal(a.n_pad),
             jnp.float32,
         )
-        dt = timed(chain_dia, a, x0=x)
+        offs, n_ = a.offsets, a.n
+        dt = time_cold_stream(
+            lambda vals, v, _o=offs, _n=n_: dia_matvec(
+                type(a)(vals=vals, offsets=_o, n=_n), v),
+            a.vals, x,
+        )
         out[label] = {
             "n": a.n,
             "nnz": nnz,
@@ -161,15 +149,13 @@ def _spmv_throughput() -> dict:
             # the flat pad-based formulation beats the ghost-padded
             # "zero-copy" layout on v5e: (n+2)-strided slabs are
             # lane-hostile, while XLA fuses pad+shifts on contiguous
-            # power-of-two grids into one streaming kernel (measured
-            # 99 vs 65 Gnnz/s at 256^3, dependency-chained)
-            def chain_stencil(xs, shp=shape):
-                for _ in range(K):
-                    xs = poisson3d_stencil_matvec(xs, shp)
-                return xs
-
+            # power-of-two grids into one streaming kernel
             xs = x[: shape[0] * shape[1] * shape[2]]
-            dt = timed(chain_stencil, x0=xs)
+            dt = time_cold_stream(
+                lambda xe, s, shp=shape: poisson3d_stencil_matvec(
+                    xe * s, shp),
+                xs, jnp.float32(1.0),
+            )
             out[label + "_stencil"] = {
                 "gnnz_per_s": round(nnz / dt / 1e9, 3),
                 "us": round(dt * 1e6, 1),

@@ -241,3 +241,63 @@ def dia_spmv_roofline(a, x, iters: int = 100) -> RooflineReport:
         bytes_moved=bytes_moved,
         flops=2 * nnz,
     )
+
+
+def time_cold_stream(apply_fn, big_operand, x0, min_pool_bytes=2.0e8,
+                     reps_budget_s=6e-3):
+    """Per-call seconds of ``apply_fn(big_operand_i, x)`` with the
+    large operand COLD in HBM on every call.
+
+    A scan-chained repeat of one operator measures the VMEM-RESIDENT
+    rate: once the operand fits in on-chip memory, XLA keeps it there
+    across the chain, and a 128^3 DIA SpMV reads "2.1x HBM bandwidth"
+    (45.6 us for a 75 MB sweep — real reuse performance, NOT streaming
+    throughput).  For the streaming roofline this helper cycles a pool
+    of jittered operand copies sized past ``min_pool_bytes`` so every
+    rep's operand must come from HBM, and scales the rep count so the
+    measured span clears the scan-slope noise floor.
+
+    ``apply_fn(operand_leaf, x) -> array`` where ``operand_leaf`` is
+    one pool entry (same shape as ``big_operand``).  Returns seconds
+    per single apply.
+
+    Implementation notes: an operand already larger than on-chip
+    memory needs no pool — the plain chain is cold.  Smaller operands
+    cycle pool entries via ``lax.switch`` over per-copy branches; a
+    stacked-array ``dynamic_index_in_dim`` would MATERIALIZE a copy of
+    the selected operand every rep and time memcpy (~300 GB/s flat
+    across grids), not the kernel.
+    """
+    nbytes = big_operand.size * big_operand.dtype.itemsize
+    est = max(nbytes / 820e9, 1e-6)
+    r2 = int(min(max(reps_budget_s / est, 16), 256))
+    r1 = max(r2 // 4, 2)
+
+    if nbytes >= min_pool_bytes:
+        return time_chain(
+            apply_fn, big_operand,
+            lambda i: x0 * (1.0 + next_unique() * jnp.float32(1.2e-7)),
+            reps=(r1, r2),
+        )
+
+    pool_n = int(-(-min_pool_bytes // nbytes))
+    pool = tuple(
+        big_operand * (1.0 + next_unique() * 1.2e-7)
+        for _ in range(pool_n)
+    )
+
+    def fn(pool_, inp):
+        x, sel = inp["x"], inp["sel"]
+        return jax.lax.switch(
+            sel,
+            [partial(apply_fn, leaf) for leaf in pool_],
+            x,
+        )
+
+    def make_input(i):
+        return {
+            "x": x0 * (1.0 + next_unique() * jnp.float32(1.2e-7)),
+            "sel": jnp.int32(i % pool_n),
+        }
+
+    return time_chain(fn, pool, make_input, reps=(r1, r2))

@@ -32,6 +32,7 @@ def main() -> None:
     from deeppreconditioning_tpu.utils.profiling import (
         next_unique,
         time_chain,
+        time_cold_stream,
     )
 
     hbm_gb_s = 820.0  # v5e
@@ -57,16 +58,28 @@ def main() -> None:
                 v = dia_matvec_pallas(a_arg, v)
             return v
 
-        # two-point slope metrology (time_chain): the old
-        # time_kernel form folded the ~24 ms value-fetch RTT into
-        # 100 matvecs — +240 us/matvec, which at 64^3-128^3 WAS the
-        # reading (464 us reported vs ~25 us real; the r4 "0.24 BW
-        # fraction at 128^3" was tunnel overhead, not the kernel)
-        secs_dia = time_chain(
+        # TWO protocols (two-point time_chain metrology for both; the
+        # r4 time_kernel form folded the ~24 ms fetch RTT into 100
+        # matvecs and read 64^3-128^3 as tunnel overhead):
+        #   cold — every rep's operator streams from HBM (operator
+        #     pool > VMEM, utils/profiling.time_cold_stream); this is
+        #     the streaming roofline the bw_frac columns score.
+        #   resident — one operator chained k_inner deep; at <= 128^3
+        #     XLA keeps it in on-chip memory and the rate rises past
+        #     "HBM bandwidth" (45.6 us for a 75 MB sweep at 128^3).
+        #     Real reuse performance — it is what a PCG iteration
+        #     enjoys — but not streaming throughput.
+        secs_res = time_chain(
             chain_dia, a,
             lambda i: x * (1.0 + next_unique() * jnp.float32(1.2e-7)),
             reps=(4, 16),
         ) / k_inner
+        offs, n_ = a.offsets, a.n
+        secs_dia = time_cold_stream(
+            lambda vals, v: dia_matvec_pallas(
+                type(a)(vals=vals, offsets=offs, n=n_), v),
+            a.vals, x,
+        )
         # ideal model: vals + x + y once = (n_diag + 2) words/row.
         # actual HBM traffic additionally re-reads x in the halo
         # overlap: the window per tile is tile + 2*halo_pad wide, so
@@ -87,11 +100,16 @@ def main() -> None:
                 v = poisson3d_stencil_matvec(v, shp)
             return v
 
-        secs_st = time_chain(
+        secs_st_res = time_chain(
             chain_st, jnp.zeros(()),
             lambda i: xs * (1.0 + next_unique() * jnp.float32(1.2e-7)),
             reps=(4, 16),
         ) / k_inner
+        # matrix-free: the only big array is x itself — cold-stream it
+        secs_st = time_cold_stream(
+            lambda xe, s: poisson3d_stencil_matvec(xe * s, shape),
+            xs, jnp.float32(1.0),
+        )
         bytes_st = 2 * n * 4
         rows_out.append({
             "grid": g,
@@ -115,6 +133,17 @@ def main() -> None:
             "stencil_bw_frac": round(
                 bytes_st / secs_st / 1e9 / hbm_gb_s, 3
             ),
+            # resident chains at small grids can come back sub-noise
+            # (negative two-point slope) — clamp to 0 = "below the
+            # measurement floor" (MEASUREMENT.md §6)
+            "dia_resident_us": round(max(secs_res, 0.0) * 1e6, 1),
+            "dia_resident_gnnz_s": round(
+                nnz / secs_res / 1e9, 2) if secs_res > 0 else 0.0,
+            "stencil_resident_us": round(
+                max(secs_st_res, 0.0) * 1e6, 1),
+            "stencil_resident_gnnz_s": round(
+                nnz / secs_st_res / 1e9, 2) if secs_st_res > 0
+            else 0.0,
         })
         print(rows_out[-1], flush=True)
         del a, x, xs
@@ -126,6 +155,10 @@ def main() -> None:
         writer.writeheader()
         writer.writerows(rows_out)
     print(f"wrote {out}")
+
+    if "--dia-only" in sys.argv:
+        return  # committed spmv_bsr.csv stands; the frame-structure
+        # operator's host-side scipy build alone runs ~10+ min
 
     # block-sparse engine (sparse/bsr.py + ops/pallas_bsr.py).  BSR is
     # the operator format for matrices with dense BLOCK substructure —
